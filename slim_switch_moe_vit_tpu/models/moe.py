@@ -1,0 +1,74 @@
+"""MoE MLP flax module (the reference's ``CustomizedMoEMLP``, ``resMoE.py:15-29``).
+
+Holds the router + per-expert FFN parameters and calls the TPU-native dispatch
+in ``ops/moe.py``. Expert parameters are created expert-major ``(E, ...)`` and
+annotated for the ``expert`` mesh axis so pjit shards them (expert parallelism);
+the dispatch buffer gets the same constraint, which makes XLA insert the
+all_to_all over ICI — the equivalent of FastMoE's NCCL global exchange.
+
+``parity_dense=True`` switches to the exact dropless computation (every expert
+runs every token) for golden tests against the FastMoE semantics.
+"""
+from __future__ import annotations
+
+import typing as typ
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ..ops import moe as moe_ops
+from ..parallel.sharding import EXPERT_AXIS, constrain
+from .layers import trunc_normal_init
+from .gates import METRICS_COLLECTION
+
+
+class MoEMlp(nn.Module):
+    num_experts: int = 8
+    top_k: int = 2
+    hidden_features: int = 768
+    drop: float = 0.0
+    capacity_factor: float = 2.0
+    eval_capacity_factor: float = 2.0
+    dtype: typ.Any = jnp.float32
+    parity_dense: bool = False
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        B, N, d = x.shape
+        E, h = self.num_experts, self.hidden_features
+        init = trunc_normal_init(0.02)
+
+        router_w = self.param("router_kernel", init, (d, E))
+        router_b = self.param("router_bias", nn.initializers.zeros, (E,))
+        # Expert-major params. The 'expert_' name prefix is the sharding key:
+        # parallel.shard_params places any 'expert*' param on the expert mesh
+        # axis (leading dim) and replicates the rest. Plain (unboxed) params
+        # keep optimizers/checkpointing simple.
+        w1 = self.param("expert_fc1_kernel", init, (E, d, h))
+        b1 = self.param("expert_fc1_bias", nn.initializers.zeros, (E, h))
+        w2 = self.param("expert_fc2_kernel", init, (E, h, d))
+        b2 = self.param("expert_fc2_bias", nn.initializers.zeros, (E, d))
+
+        flat = x.reshape(B * N, d)
+
+        if self.parity_dense:
+            y = moe_ops.moe_dense(
+                flat, router_w, router_b, w1, b1, w2, b2, top_k=self.top_k
+            )
+            return y.reshape(B, N, d)
+
+        dropout_rng = None
+        if (not deterministic) and self.drop > 0.0:
+            dropout_rng = self.make_rng("dropout")
+        cf = self.eval_capacity_factor if deterministic else self.capacity_factor
+
+        y, aux = moe_ops.moe_forward(
+            flat, router_w, router_b, w1, b1, w2, b2,
+            top_k=self.top_k, capacity_factor=cf,
+            dropout_rng=dropout_rng, drop_rate=self.drop,
+            shard_buf=lambda b: constrain(b, (EXPERT_AXIS, None, None)),
+        )
+        for k, v in aux.items():
+            self.sow(METRICS_COLLECTION, k, v,
+                     reduce_fn=lambda a, b: b, init_fn=lambda: jnp.asarray(0.0))
+        return y.reshape(B, N, d)

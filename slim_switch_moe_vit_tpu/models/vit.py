@@ -1,0 +1,262 @@
+"""Vision Transformer backbone (DeiT family), TPU-native.
+
+Functional flax.linen re-design of the reference's timm-derived ViT
+(``models/vision_transformer.py:248-322,642-848``) and the distilled DeiT
+variant (``models/model.py:32-77``):
+
+- ``Attention``: fused QKV GEMM + scaled-dot-product. The softmax path runs in
+  fp32; matmuls carry ``preferred_element_type`` so the MXU accumulates at full
+  precision even with bf16 activations. A Pallas flash-attention kernel is used
+  for long sequences (see ``ops/attention.py``); for ViT's 197-token sequences
+  the plain XLA path is already compute-bound on the MXU.
+- ``Block``: pre-LN attn + MLP with residuals and stochastic depth
+  (reference ``Block.forward``, ``models/vision_transformer.py:319-322``).
+- ``VisionTransformer``: patch embed, cls (+dist) token, learned pos embed,
+  stochastic-depth linspace over depth (reference ``:720-722``), final norm +
+  head. Distilled model returns (head, head_dist) in training and their average
+  at eval (reference ``models/model.py:69-77``).
+
+The MLP of every block is pluggable (``mlp_factory``) — that is how the MoE and
+token-skip variants graft in without touching this file (the reference instead
+monkey-patches ``Block.forward`` at registration time, ``models/resMoE.py:163-187``).
+"""
+from __future__ import annotations
+
+import typing as typ
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from .layers import Dense, DropPath, LayerNorm, Mlp, PatchEmbed, trunc_normal_init
+
+Dtype = typ.Any
+
+
+class Attention(nn.Module):
+    """Multi-head self-attention (reference: ``models/vision_transformer.py:248-280``)."""
+
+    num_heads: int
+    qkv_bias: bool = True
+    attn_drop: float = 0.0
+    proj_drop: float = 0.0
+    dtype: Dtype = jnp.float32
+    use_flash: bool = False
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        B, N, C = x.shape
+        H = self.num_heads
+        d = C // H
+        scale = d ** -0.5
+
+        qkv = Dense(3 * C, use_bias=self.qkv_bias, dtype=self.dtype, name="qkv")(x)
+        qkv = qkv.reshape(B, N, 3, H, d)
+        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]  # (B, N, H, d)
+
+        if self.use_flash and deterministic:
+            from ..ops.attention import flash_attention
+
+            out = flash_attention(q, k, v, scale=scale)  # (B, N, H, d)
+        else:
+            q = q.transpose(0, 2, 1, 3)  # (B, H, N, d)
+            k = k.transpose(0, 2, 1, 3)
+            v = v.transpose(0, 2, 1, 3)
+            attn = jnp.einsum("bhnd,bhmd->bhnm", q, k,
+                              preferred_element_type=jnp.float32) * scale
+            attn = jax.nn.softmax(attn, axis=-1)
+            attn = nn.Dropout(self.attn_drop)(attn, deterministic=deterministic)
+            out = jnp.einsum("bhnm,bhmd->bhnd", attn.astype(v.dtype), v,
+                             preferred_element_type=jnp.float32)
+            out = out.transpose(0, 2, 1, 3)  # (B, N, H, d)
+
+        out = out.reshape(B, N, C).astype(self.dtype)
+        out = Dense(C, dtype=self.dtype, name="proj")(out)
+        out = nn.Dropout(self.proj_drop)(out, deterministic=deterministic)
+        return out
+
+
+def default_mlp_factory(dim: int, mlp_ratio: float, drop: float, dtype) -> nn.Module:
+    return Mlp(hidden_features=int(dim * mlp_ratio), drop=drop, dtype=dtype, name="mlp")
+
+
+class Block(nn.Module):
+    """Pre-LN transformer block (reference: ``models/vision_transformer.py:283-322``)."""
+
+    dim: int
+    num_heads: int
+    mlp_ratio: float = 4.0
+    qkv_bias: bool = True
+    drop: float = 0.0
+    attn_drop: float = 0.0
+    drop_path: float = 0.0
+    dtype: Dtype = jnp.float32
+    use_flash: bool = False
+    mlp_factory: typ.Callable = default_mlp_factory
+
+    def setup(self):
+        self.norm1 = LayerNorm(name="norm1")
+        self.attn = Attention(
+            num_heads=self.num_heads,
+            qkv_bias=self.qkv_bias,
+            attn_drop=self.attn_drop,
+            proj_drop=self.drop,
+            dtype=self.dtype,
+            use_flash=self.use_flash,
+            name="attn",
+        )
+        self.norm2 = LayerNorm(name="norm2")
+        self.mlp = self.mlp_factory(self.dim, self.mlp_ratio, self.drop, self.dtype)
+        self.drop_path_mod = DropPath(self.drop_path, name="drop_path")
+
+    def __call__(self, x, deterministic: bool = True):
+        y = self.attn(self.norm1(x), deterministic=deterministic)
+        x = x + self.drop_path_mod(y, deterministic=deterministic)
+        y = self.mlp(self.norm2(x), deterministic=deterministic)
+        x = x + self.drop_path_mod(y, deterministic=deterministic)
+        return x
+
+
+class VisionTransformer(nn.Module):
+    """ViT for classification (reference: ``models/vision_transformer.py:642-848``).
+
+    ``distilled=True`` adds the DeiT distillation token + second head
+    (reference: ``models/model.py:32-77``).
+    """
+
+    img_size: int = 224
+    patch_size: int = 16
+    num_classes: int = 1000
+    embed_dim: int = 768
+    depth: int = 12
+    num_heads: int = 12
+    mlp_ratio: float = 4.0
+    qkv_bias: bool = True
+    distilled: bool = False
+    drop_rate: float = 0.0
+    attn_drop_rate: float = 0.0
+    drop_path_rate: float = 0.0
+    dtype: Dtype = jnp.float32
+    use_flash: bool = False
+    # Factory: (layer_idx, dim, mlp_ratio, drop, dtype) -> nn.Module, or None for dense.
+    block_mlp_factory: typ.Optional[typ.Callable] = None
+    # Full block replacement: (layer_idx, **block_kwargs) -> nn.Module. Used by the
+    # ResMoE variant (gates around attn+MoE, reference models/resMoE.py:126-145).
+    block_factory: typ.Optional[typ.Callable] = None
+
+    @property
+    def num_tokens(self) -> int:
+        return 2 if self.distilled else 1
+
+    @property
+    def num_patches(self) -> int:
+        return (self.img_size // self.patch_size) ** 2
+
+    def setup(self):
+        self.patch_embed = PatchEmbed(
+            img_size=self.img_size,
+            patch_size=self.patch_size,
+            embed_dim=self.embed_dim,
+            dtype=self.dtype,
+            name="patch_embed",
+        )
+        self.cls_token = self.param(
+            "cls_token", trunc_normal_init(0.02), (1, 1, self.embed_dim)
+        )
+        if self.distilled:
+            self.dist_token = self.param(
+                "dist_token", trunc_normal_init(0.02), (1, 1, self.embed_dim)
+            )
+        self.pos_embed = self.param(
+            "pos_embed",
+            trunc_normal_init(0.02),
+            (1, self.num_patches + self.num_tokens, self.embed_dim),
+        )
+        self.pos_drop = nn.Dropout(self.drop_rate)
+
+        # Stochastic-depth decay rule (reference: vision_transformer.py:720-722).
+        # numpy, not jnp: setup() runs under jit tracing where jnp values are
+        # tracers and these must be static python floats.
+        import numpy as np
+
+        dpr = [float(r) for r in np.linspace(0.0, self.drop_path_rate, self.depth)]
+        blocks = []
+        for i in range(self.depth):
+            block_kwargs = dict(
+                dim=self.embed_dim,
+                num_heads=self.num_heads,
+                mlp_ratio=self.mlp_ratio,
+                qkv_bias=self.qkv_bias,
+                drop=self.drop_rate,
+                attn_drop=self.attn_drop_rate,
+                drop_path=dpr[i],
+                dtype=self.dtype,
+                use_flash=self.use_flash,
+                name=f"blocks_{i}",
+            )
+            if self.block_factory is not None:
+                blocks.append(self.block_factory(i, **block_kwargs))
+                continue
+            factory = default_mlp_factory
+            if self.block_mlp_factory is not None:
+                bf = self.block_mlp_factory
+                factory = (lambda idx: lambda dim, ratio, drop, dtype: bf(
+                    idx, dim, ratio, drop, dtype))(i)
+            blocks.append(Block(mlp_factory=factory, **block_kwargs))
+        self.blocks = blocks
+        self.norm = LayerNorm(name="norm")
+        if self.num_classes > 0:
+            self.head = Dense(self.num_classes, dtype=jnp.float32, name="head")
+            if self.distilled:
+                self.head_dist = Dense(
+                    self.num_classes, dtype=jnp.float32, name="head_dist"
+                )
+
+    def forward_features(self, x, deterministic: bool = True):
+        B = x.shape[0]
+        x = self.patch_embed(x)
+        cls = jnp.broadcast_to(self.cls_token.astype(x.dtype), (B, 1, self.embed_dim))
+        if self.distilled:
+            dist = jnp.broadcast_to(
+                self.dist_token.astype(x.dtype), (B, 1, self.embed_dim)
+            )
+            x = jnp.concatenate([cls, dist, x], axis=1)
+        else:
+            x = jnp.concatenate([cls, x], axis=1)
+        x = x + self.pos_embed.astype(x.dtype)
+        x = self.pos_drop(x, deterministic=deterministic)
+        for blk in self.blocks:
+            x = blk(x, deterministic=deterministic)
+        x = self.norm(x)
+        return x
+
+    def __call__(self, x, deterministic: bool = True, train: typ.Optional[bool] = None):
+        if train is not None:
+            deterministic = not train
+        x = self.forward_features(x, deterministic=deterministic)
+        if self.num_classes == 0:
+            return x[:, 0]
+        if self.distilled:
+            logits = self.head(x[:, 0].astype(jnp.float32))
+            logits_dist = self.head_dist(x[:, 1].astype(jnp.float32))
+            if not deterministic:
+                # Training: both heads separately (fed to DistillationLoss).
+                return logits, logits_dist
+            # Eval: average of both classifiers (reference: models/model.py:76-77).
+            return (logits + logits_dist) / 2.0
+        return self.head(x[:, 0].astype(jnp.float32))
+
+
+def resize_pos_embed(pos_embed, num_extra_tokens: int, new_grid: int):
+    """Bicubic pos-embed interpolation for finetuning at a new resolution
+    (reference: ``main.py:550-571``, ``models/vision_transformer.py:1008-1027``)."""
+    import math
+
+    extra = pos_embed[:, :num_extra_tokens]
+    grid = pos_embed[:, num_extra_tokens:]
+    orig = int(math.sqrt(grid.shape[1]))
+    D = grid.shape[-1]
+    grid = grid.reshape(1, orig, orig, D)
+    grid = jax.image.resize(grid, (1, new_grid, new_grid, D), method="bicubic")
+    grid = grid.reshape(1, new_grid * new_grid, D)
+    return jnp.concatenate([extra, grid], axis=1)

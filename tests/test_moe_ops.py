@@ -1,0 +1,102 @@
+"""Golden-value tests for the MoE dispatch path vs the exact dense oracle."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from slim_switch_moe_vit_tpu.ops import moe as moe_ops
+
+
+def _params(key, d=16, h=32, E=4):
+    ks = jax.random.split(key, 7)
+    return dict(
+        router_w=jax.random.normal(ks[0], (d, E)) * 0.2,
+        router_b=jnp.zeros((E,)),
+        w1=jax.random.normal(ks[1], (E, d, h)) * 0.2,
+        b1=jax.random.normal(ks[2], (E, h)) * 0.1,
+        w2=jax.random.normal(ks[3], (E, h, d)) * 0.2,
+        b2=jax.random.normal(ks[4], (E, d)) * 0.1,
+    )
+
+
+def test_gate_topk_softmax_after_selection():
+    logits = jnp.array([[1.0, 3.0, 2.0, -1.0]])
+    w, idx = moe_ops.naive_topk_gate(logits, 2)
+    assert idx.tolist() == [[1, 2]]
+    expect = jax.nn.softmax(jnp.array([3.0, 2.0]))
+    np.testing.assert_allclose(w[0], expect, rtol=1e-6)
+
+
+def test_dispatch_positions_and_capacity():
+    idx = jnp.array([[0], [0], [1], [0]], dtype=jnp.int32)  # 3 tokens want e0
+    dest, keep = moe_ops.make_dispatch(idx, num_experts=2, capacity=2)
+    # first two expert-0 tokens land in slots 0,1; third is dropped
+    assert dest[0, 0] == 0 and dest[1, 0] == 1
+    assert not keep[3, 0]
+    assert keep[0, 0] and keep[1, 0] and keep[2, 0]
+    assert dest[2, 0] == 2 * 1 + 0  # expert1 slot0 (flat = e*C + pos)
+
+
+def test_dispatch_combine_roundtrip():
+    key = jax.random.PRNGKey(0)
+    x = jax.random.normal(key, (8, 4))
+    idx = jnp.array([[i % 2] for i in range(8)], dtype=jnp.int32)
+    dest, keep = moe_ops.make_dispatch(idx, num_experts=2, capacity=8)
+    buf = moe_ops.dispatch_tokens(x, dest, 2, 8)
+    # identity experts: combine with weight 1 must return x
+    y = moe_ops.combine_tokens(buf, dest, keep, jnp.ones((8, 1)))
+    np.testing.assert_allclose(y, x, rtol=1e-6)
+
+
+@pytest.mark.parametrize("top_k", [1, 2])
+def test_moe_forward_matches_dense_when_no_drop(top_k):
+    key = jax.random.PRNGKey(1)
+    p = _params(key)
+    x = jax.random.normal(jax.random.PRNGKey(2), (32, 16))
+    # capacity = T guarantees nothing drops -> must equal dropless dense oracle
+    y, aux = moe_ops.moe_forward(
+        x, p["router_w"], p["router_b"], p["w1"], p["b1"], p["w2"], p["b2"],
+        top_k=top_k, capacity=32,
+    )
+    y_ref = moe_ops.moe_dense(
+        x, p["router_w"], p["router_b"], p["w1"], p["b1"], p["w2"], p["b2"],
+        top_k=top_k,
+    )
+    np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref), atol=1e-4)
+    assert float(aux["drop_fraction"]) == 0.0
+
+
+def test_moe_forward_grads_flow():
+    p = _params(jax.random.PRNGKey(3))
+    x = jax.random.normal(jax.random.PRNGKey(4), (16, 16))
+
+    def loss(params):
+        y, _ = moe_ops.moe_forward(
+            x, params["router_w"], params["router_b"],
+            params["w1"], params["b1"], params["w2"], params["b2"],
+            top_k=2, capacity=16,
+        )
+        return jnp.sum(y ** 2)
+
+    g = jax.grad(loss)(p)
+    for name in ["router_w", "w1", "w2", "b1", "b2"]:
+        assert float(jnp.abs(g[name]).sum()) > 0, name
+
+
+def test_capacity_drop_reported():
+    p = _params(jax.random.PRNGKey(5), E=2)
+    x = jax.random.normal(jax.random.PRNGKey(6), (64, 16))
+    _, aux = moe_ops.moe_forward(
+        x, p["router_w"], p["router_b"], p["w1"], p["b1"], p["w2"], p["b2"],
+        top_k=2, capacity=8,  # 128 assignments into 16 slots -> drops
+    )
+    assert float(aux["drop_fraction"]) > 0.5
+
+
+def test_load_balance_loss_uniform_is_one():
+    # perfectly uniform routing -> loss == 1.0 (E * sum_e (1/E)*(1/E) * E)
+    T, E = 64, 4
+    logits = jnp.zeros((T, E))
+    idx = jnp.stack([jnp.arange(T) % E, (jnp.arange(T) + 1) % E], axis=1)
+    loss = moe_ops.load_balance_loss(logits, idx.astype(jnp.int32), E)
+    np.testing.assert_allclose(float(loss), 1.0, rtol=1e-5)
