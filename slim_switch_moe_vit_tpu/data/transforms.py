@@ -1,0 +1,149 @@
+"""Host-side per-sample transforms: decode-adjacent geometry only.
+
+TPU-first split of the reference's transform stack (``datasets.py:290-322``):
+the host does only what must happen before batching — RandomResizedCrop (train)
+or resize+center-crop (eval) to a fixed size, on uint8 — and everything
+batchable (normalize, flips, RandAugment, color jitter, random erasing) runs
+fused on device (``device_aug.py``). This keeps host work minimal and
+host→device transfers uint8 (4× smaller than fp32).
+
+Eval geometry parity (reference datasets.py:310-318): resize short side to
+``int(256/224 * input_size)`` bicubic, then center crop.
+"""
+from __future__ import annotations
+
+import typing as typ
+
+import numpy as np
+
+
+def _to_pil(img: np.ndarray):
+    from PIL import Image
+
+    return Image.fromarray(img)
+
+
+def random_resized_crop(img: np.ndarray, size: int, rng: np.random.RandomState,
+                        scale=(0.08, 1.0), ratio=(3 / 4, 4 / 3),
+                        interpolation: str = "bicubic") -> np.ndarray:
+    """timm RandomResizedCropAndInterpolation semantics."""
+    from PIL import Image
+
+    H, W = img.shape[:2]
+    area = H * W
+    interp = Image.BICUBIC if interpolation == "bicubic" else Image.BILINEAR
+    for _ in range(10):
+        target_area = area * rng.uniform(*scale)
+        log_ratio = (np.log(ratio[0]), np.log(ratio[1]))
+        aspect = np.exp(rng.uniform(*log_ratio))
+        w = int(round(np.sqrt(target_area * aspect)))
+        h = int(round(np.sqrt(target_area / aspect)))
+        if 0 < w <= W and 0 < h <= H:
+            i = rng.randint(0, H - h + 1)
+            j = rng.randint(0, W - w + 1)
+            pil = _to_pil(img).crop((j, i, j + w, i + h)).resize((size, size), interp)
+            return np.asarray(pil, dtype=np.uint8)
+    # fallback: center crop
+    in_ratio = W / H
+    if in_ratio < ratio[0]:
+        w, h = W, int(round(W / ratio[0]))
+    elif in_ratio > ratio[1]:
+        h, w = H, int(round(H * ratio[1]))
+    else:
+        w, h = W, H
+    i, j = (H - h) // 2, (W - w) // 2
+    pil = _to_pil(img).crop((j, i, j + w, i + h)).resize((size, size), interp)
+    return np.asarray(pil, dtype=np.uint8)
+
+
+def resize_center_crop(img: np.ndarray, size: int,
+                       crop_ratio: float = 0.875) -> np.ndarray:
+    """Eval path: short side → size/crop_ratio (==256 for 224), center crop."""
+    from PIL import Image
+
+    scale_size = int(size / crop_ratio)
+    H, W = img.shape[:2]
+    if H < W:
+        nh, nw = scale_size, int(round(W * scale_size / H))
+    else:
+        nh, nw = int(round(H * scale_size / W)), scale_size
+    pil = _to_pil(img).resize((nw, nh), Image.BICUBIC)
+    top = (nh - size) // 2
+    left = (nw - size) // 2
+    pil = pil.crop((left, top, left + size, top + size))
+    return np.asarray(pil, dtype=np.uint8)
+
+
+def simple_random_crop(img: np.ndarray, size: int, rng: np.random.RandomState,
+                       padding: int = 4) -> np.ndarray:
+    """DeiT-III SRC: resize then reflect-pad random crop (reference
+    augment.py:101-106); also the <=32px RandomCrop path (datasets.py:304-307)."""
+    from PIL import Image
+
+    pil = _to_pil(img)
+    if min(img.shape[:2]) != size:
+        H, W = img.shape[:2]
+        if H < W:
+            nh, nw = size, int(round(W * size / H))
+        else:
+            nh, nw = int(round(H * size / W)), size
+        pil = pil.resize((nw, nh), Image.BICUBIC)
+    arr = np.asarray(pil, dtype=np.uint8)
+    arr = np.pad(arr, ((padding, padding), (padding, padding), (0, 0)),
+                 mode="reflect")
+    H, W = arr.shape[:2]
+    i = rng.randint(0, H - size + 1)
+    j = rng.randint(0, W - size + 1)
+    return arr[i:i + size, j:j + size]
+
+
+class TrainTransform:
+    """Host geometry for training. Stateless w.r.t. sample index; per-call RNG
+    comes from a numpy RandomState seeded by the loader."""
+
+    def __init__(self, input_size: int, src: bool = False,
+                 interpolation: str = "bicubic", seed: int = 0):
+        self.input_size = input_size
+        self.src = src
+        self.interpolation = interpolation
+        self.rng = np.random.RandomState(seed)
+
+    def __call__(self, img: np.ndarray) -> np.ndarray:
+        small = min(img.shape[:2]) <= 32 and self.input_size <= 32
+        if small or self.src:
+            return simple_random_crop(img, self.input_size, self.rng)
+        if img.shape[0] == img.shape[1] == self.input_size:
+            # already target-sized (e.g. SYNTH) — RRC still applies for aug
+            pass
+        return random_resized_crop(img, self.input_size, self.rng,
+                                   interpolation=self.interpolation)
+
+
+class EvalTransform:
+    def __init__(self, input_size: int, crop_ratio: float = 0.875):
+        self.input_size = input_size
+        self.crop_ratio = crop_ratio
+
+    def __call__(self, img: np.ndarray) -> np.ndarray:
+        if img.shape[0] == img.shape[1] == self.input_size:
+            return img
+        if self.input_size <= 32:  # no resize for small images (reference :291)
+            from PIL import Image
+
+            pil = _to_pil(img).resize((self.input_size, self.input_size),
+                                      Image.BICUBIC)
+            return np.asarray(pil, dtype=np.uint8)
+        return resize_center_crop(img, self.input_size, self.crop_ratio)
+
+
+def build_transform(is_train: bool, args) -> typ.Callable:
+    """Host part of reference datasets.py:290-322; photometric ops are
+    on-device (device_aug.build_device_augment)."""
+    if is_train:
+        return TrainTransform(
+            args.input_size, src=getattr(args, "src", False),
+            interpolation=getattr(args, "train_interpolation", "bicubic"),
+            seed=getattr(args, "seed", 0),
+        )
+    return EvalTransform(args.input_size,
+                         crop_ratio=getattr(args, "eval_crop_ratio", 0.875))

@@ -1,0 +1,133 @@
+"""Optimizer + LR schedule with timm-parity semantics.
+
+The reference builds AdamW through timm's ``create_optimizer_v2`` with a custom
+``param_group_fn`` giving skip gates their own LR (``main.py:619-631,729-731``)
+and a cosine schedule stepped per epoch through ``create_scheduler``
+(``main.py:734,886``). Parity points implemented here:
+
+- **weight-decay mask**: timm excludes biases/1-d params and the model's
+  ``no_weight_decay()`` set ({pos_embed, cls_token, dist_token},
+  reference ``vision_transformer.py`` / timm optim factory defaults).
+- **two LR groups**: params whose path contains ``moe_gate``/``dense_gate``
+  train at ``--gate-lr``; timm schedulers scale every group by the same
+  relative curve, so both groups share one scale factor applied to their own
+  base LR.
+- **epoch-granular cosine**: lr constant within an epoch; linear warmup from
+  ``warmup_lr`` over ``warmup_epochs``; cosine from base to ``min_lr`` at
+  ``epochs``; ``min_lr`` during cooldown.
+
+The optimizer is hand-rolled on optax primitives so the two dynamic LR scalars
+can be fed into the jitted step each epoch without re-jitting.
+"""
+from __future__ import annotations
+
+import math
+import typing as typ
+
+import jax
+import jax.numpy as jnp
+import optax
+
+NO_WEIGHT_DECAY_NAMES = {"pos_embed", "cls_token", "dist_token"}
+GATE_MARKERS = ("moe_gate", "dense_gate")
+
+
+def _path_names(path) -> typ.List[str]:
+    return [str(getattr(k, "key", getattr(k, "name", k))) for k in path]
+
+
+def is_gate_param(path) -> bool:
+    names = _path_names(path)
+    return any(any(m in n for m in GATE_MARKERS) for n in names)
+
+
+def wd_mask(params):
+    """True where weight decay applies (timm: ndim>1 and not in no-decay set).
+
+    Expert-stacked biases (E, h) are 2-d here but correspond to the reference's
+    per-expert 1-d biases, so anything named ``*bias*`` is also excluded.
+    """
+
+    def f(path, leaf):
+        names = _path_names(path)
+        if any(n in NO_WEIGHT_DECAY_NAMES for n in names):
+            return False
+        if "bias" in names[-1]:
+            return False
+        return leaf.ndim > 1
+
+    return jax.tree_util.tree_map_with_path(f, params)
+
+
+def gate_mask(params):
+    return jax.tree_util.tree_map_with_path(lambda p, _: is_gate_param(p), params)
+
+
+class TimmCosineSchedule:
+    """lr(epoch) per param group, matching timm CosineLRScheduler defaults as
+    driven by the reference CLI (sched=cosine, warmup_prefix False)."""
+
+    def __init__(self, base_lr: float, epochs: int, warmup_epochs: int = 5,
+                 warmup_lr: float = 1e-6, min_lr: float = 1e-5,
+                 cooldown_epochs: int = 10):
+        self.base_lr = base_lr
+        self.epochs = epochs
+        self.warmup_epochs = warmup_epochs
+        self.warmup_lr = warmup_lr
+        self.min_lr = min_lr
+        self.cooldown_epochs = cooldown_epochs
+
+    def scale(self, epoch: int) -> float:
+        """Relative multiplier applied to every group's base lr. Warmup is an
+        absolute ramp for the main group; we return the main group's ratio and
+        let groups share it (timm scales groups proportionally)."""
+        return self(epoch) / self.base_lr if self.base_lr > 0 else 0.0
+
+    def __call__(self, epoch: int) -> float:
+        if self.warmup_epochs > 0 and epoch < self.warmup_epochs:
+            slope = (self.base_lr - self.warmup_lr) / self.warmup_epochs
+            return self.warmup_lr + slope * epoch
+        if epoch >= self.epochs:
+            return self.min_lr
+        t = epoch / max(self.epochs, 1)
+        return self.min_lr + 0.5 * (self.base_lr - self.min_lr) * (
+            1.0 + math.cos(math.pi * t)
+        )
+
+
+def scaled_lr(lr: float, batch_size: int, world_size: int,
+              unscale_lr: bool) -> float:
+    """Linear LR scaling: lr * global_batch / 512 (reference main.py:615-617)."""
+    if unscale_lr:
+        return lr
+    return lr * batch_size * world_size / 512.0
+
+
+def make_optimizer(params, *, weight_decay: float = 0.05,
+                   betas: typ.Tuple[float, float] = (0.9, 0.999),
+                   eps: float = 1e-8,
+                   clip_grad: typ.Optional[float] = None):
+    """AdamW core transforms; LR is applied separately per group in
+    ``apply_updates_two_group`` so it can change per epoch without re-init.
+
+    Returns (init_fn, update_fn) where update_fn(grads, state, params,
+    lr_base, lr_gate) -> (updates, new_state); updates already include sign.
+    """
+    chain = []
+    if clip_grad is not None and clip_grad > 0:
+        chain.append(optax.clip_by_global_norm(clip_grad))
+    chain.append(optax.scale_by_adam(b1=betas[0], b2=betas[1], eps=eps))
+    if weight_decay:
+        chain.append(optax.add_decayed_weights(weight_decay, mask=wd_mask))
+    tx = optax.chain(*chain)
+
+    gmask = gate_mask(params)
+
+    def update(grads, state, params, lr_base, lr_gate):
+        updates, state = tx.update(grads, state, params)
+        updates = jax.tree.map(
+            lambda u, g: -jnp.where(g, lr_gate, lr_base) * u, updates, gmask
+        )
+        return updates, state
+
+    return tx.init, update

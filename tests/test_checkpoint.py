@@ -1,0 +1,129 @@
+"""Checkpoint roundtrip + foreign import tests."""
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from slim_switch_moe_vit_tpu import optim
+from slim_switch_moe_vit_tpu.engine import make_eval_step
+from slim_switch_moe_vit_tpu.models import create_model
+from slim_switch_moe_vit_tpu.train_state import create_train_state
+from slim_switch_moe_vit_tpu.utils.checkpoint import (
+    import_torch_checkpoint, restore_checkpoint, save_checkpoint,
+)
+
+
+def test_orbax_roundtrip_bitexact(tmp_path):
+    model = create_model("resmoe_tiny_patch16_224_expert8", num_classes=5,
+                         img_size=32)
+    oi, _ = optim.make_optimizer(
+        create_train_state(model, (1, 32, 32, 3)).params)
+    state = create_train_state(model, (1, 32, 32, 3), opt_init=oi,
+                               use_ema=True)
+    save_checkpoint(str(tmp_path / "ck"), state, epoch=3)
+    state2, epoch = restore_checkpoint(str(tmp_path / "ck"), state)
+    assert epoch == 3
+    for a, b in zip(jax.tree.leaves(state.params),
+                    jax.tree.leaves(state2.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    for a, b in zip(jax.tree.leaves(state.gates),
+                    jax.tree.leaves(state2.gates)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # logits parity after roundtrip
+    ev = make_eval_step(model)
+    x = jnp.asarray(np.random.RandomState(0).randn(2, 32, 32, 3),
+                    jnp.float32)
+    y = jnp.zeros(2, jnp.int32)
+    out1 = ev(state, x, y)
+    out2 = ev(state2, x, y)
+    np.testing.assert_allclose(float(out1[0]), float(out2[0]), rtol=1e-6)
+
+
+def test_torch_import_roundtrip():
+    """Export our params into a torch-style state_dict, re-import, compare."""
+    model = create_model("deit_tiny_patch16_224", num_classes=7, img_size=32)
+    state = create_train_state(model, (1, 32, 32, 3))
+    p = state.params
+
+    # build a synthetic torch-style state dict from our params
+    sd = {}
+    k = np.asarray(p["patch_embed"]["proj"]["kernel"])  # (kh*kw*C, D)
+    D = k.shape[1]
+    kh = kw = 16
+    sd["patch_embed.proj.weight"] = (
+        k.reshape(kh, kw, 3, D).transpose(3, 2, 0, 1))
+    sd["patch_embed.proj.bias"] = np.asarray(p["patch_embed"]["proj"]["bias"])
+    sd["cls_token"] = np.asarray(p["cls_token"])
+    sd["pos_embed"] = np.asarray(p["pos_embed"])
+    for i in range(12):
+        b = p[f"blocks_{i}"]
+        t = f"blocks.{i}"
+        sd[f"{t}.norm1.weight"] = np.asarray(b["norm1"]["scale"])
+        sd[f"{t}.norm1.bias"] = np.asarray(b["norm1"]["bias"])
+        sd[f"{t}.norm2.weight"] = np.asarray(b["norm2"]["scale"])
+        sd[f"{t}.norm2.bias"] = np.asarray(b["norm2"]["bias"])
+        sd[f"{t}.attn.qkv.weight"] = np.asarray(b["attn"]["qkv"]["kernel"]).T
+        sd[f"{t}.attn.qkv.bias"] = np.asarray(b["attn"]["qkv"]["bias"])
+        sd[f"{t}.attn.proj.weight"] = np.asarray(b["attn"]["proj"]["kernel"]).T
+        sd[f"{t}.attn.proj.bias"] = np.asarray(b["attn"]["proj"]["bias"])
+        sd[f"{t}.mlp.fc1.weight"] = np.asarray(b["mlp"]["fc1"]["kernel"]).T
+        sd[f"{t}.mlp.fc1.bias"] = np.asarray(b["mlp"]["fc1"]["bias"])
+        sd[f"{t}.mlp.fc2.weight"] = np.asarray(b["mlp"]["fc2"]["kernel"]).T
+        sd[f"{t}.mlp.fc2.bias"] = np.asarray(b["mlp"]["fc2"]["bias"])
+    sd["norm.weight"] = np.asarray(p["norm"]["scale"])
+    sd["norm.bias"] = np.asarray(p["norm"]["bias"])
+    sd["head.weight"] = np.asarray(p["head"]["kernel"]).T
+    sd["head.bias"] = np.asarray(p["head"]["bias"])
+
+    p2 = import_torch_checkpoint(sd, model, state.params)
+    for (path1, a), (_, b) in zip(
+            jax.tree_util.tree_leaves_with_path(p),
+            jax.tree_util.tree_leaves_with_path(p2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6,
+                                   err_msg=str(path1))
+
+
+def test_torch_import_drops_mismatched_head():
+    model = create_model("deit_tiny_patch16_224", num_classes=7, img_size=32)
+    state = create_train_state(model, (1, 32, 32, 3))
+    p = state.params
+    sd = {}
+    k = np.asarray(p["patch_embed"]["proj"]["kernel"])
+    D = k.shape[1]
+    sd["patch_embed.proj.weight"] = k.reshape(16, 16, 3, D).transpose(3, 2, 0, 1)
+    sd["patch_embed.proj.bias"] = np.asarray(p["patch_embed"]["proj"]["bias"])
+    sd["cls_token"] = np.asarray(p["cls_token"])
+    sd["pos_embed"] = np.asarray(p["pos_embed"])
+    for i in range(12):
+        b = p[f"blocks_{i}"]
+        t = f"blocks.{i}"
+        sd[f"{t}.norm1.weight"] = np.asarray(b["norm1"]["scale"])
+        sd[f"{t}.norm1.bias"] = np.asarray(b["norm1"]["bias"])
+        sd[f"{t}.norm2.weight"] = np.asarray(b["norm2"]["scale"])
+        sd[f"{t}.norm2.bias"] = np.asarray(b["norm2"]["bias"])
+        sd[f"{t}.attn.qkv.weight"] = np.asarray(b["attn"]["qkv"]["kernel"]).T
+        sd[f"{t}.attn.qkv.bias"] = np.asarray(b["attn"]["qkv"]["bias"])
+        sd[f"{t}.attn.proj.weight"] = np.asarray(b["attn"]["proj"]["kernel"]).T
+        sd[f"{t}.attn.proj.bias"] = np.asarray(b["attn"]["proj"]["bias"])
+        sd[f"{t}.mlp.fc1.weight"] = np.asarray(b["mlp"]["fc1"]["kernel"]).T
+        sd[f"{t}.mlp.fc1.bias"] = np.asarray(b["mlp"]["fc1"]["bias"])
+        sd[f"{t}.mlp.fc2.weight"] = np.asarray(b["mlp"]["fc2"]["kernel"]).T
+        sd[f"{t}.mlp.fc2.bias"] = np.asarray(b["mlp"]["fc2"]["bias"])
+    sd["norm.weight"] = np.asarray(p["norm"]["scale"])
+    sd["norm.bias"] = np.asarray(p["norm"]["bias"])
+    # 1000-class head: shape mismatch -> silently dropped (main.py:542-548)
+    sd["head.weight"] = np.zeros((1000, D), np.float32)
+    sd["head.bias"] = np.zeros((1000,), np.float32)
+    p2 = import_torch_checkpoint(sd, model, state.params)
+    np.testing.assert_allclose(np.asarray(p2["head"]["kernel"]),
+                               np.asarray(p["head"]["kernel"]))
+
+
+def test_pos_embed_resize_on_import():
+    from slim_switch_moe_vit_tpu.models.vit import resize_pos_embed
+
+    pos = jnp.asarray(np.random.RandomState(0).randn(1, 1 + 196, 8),
+                      jnp.float32)
+    out = resize_pos_embed(pos, 1, 2)  # 14x14 -> 2x2 grid
+    assert out.shape == (1, 5, 8)
+    np.testing.assert_allclose(np.asarray(out[:, 0]), np.asarray(pos[:, 0]))
