@@ -32,9 +32,10 @@ def main():
     batch = 128
     img = 224
     K = 10  # steps per timed call
+    # north-star config (BASELINE.json): ViT-S/16 Switch-8E
     model = create_model(
-        "resmoe_tiny_patch16_224_expert8", num_classes=1000, img_size=img,
-        dtype=jnp.bfloat16, capacity_factor=1.25,
+        "moe_small_patch16_224_expert8", num_classes=1000, img_size=img,
+        dtype=jnp.bfloat16,
     )
     probe = create_train_state(model, (1, img, img, 3))
     opt_init, opt_update = optim.make_optimizer(probe.params,
@@ -87,7 +88,7 @@ def main():
     target = 0.9 * roofline_ips
 
     print(json.dumps({
-        "metric": "train_images_per_sec_per_chip_resmoe_tiny_224_bf16_b128",
+        "metric": "train_images_per_sec_per_chip_vit_s16_switch8e_224_bf16_b128",
         "value": round(ips, 2),
         "unit": "images/sec",
         "vs_baseline": round(ips / target, 4),

@@ -166,6 +166,13 @@ def get_args_parser():
     parser.add_argument("--capacity-factor", default=2.0, type=float,
                         help="train-time expert capacity factor")
     parser.add_argument("--eval-capacity-factor", default=2.0, type=float)
+    parser.add_argument("--moe-dispatch", default="auto",
+                        choices=["auto", "ragged", "capacity", "dense"],
+                        help="MoE dispatch: ragged (dropless sort-based, "
+                             "fastest single-chip), capacity (static buffers, "
+                             "needed for expert parallelism), dense (exact "
+                             "O(E) oracle). auto = ragged unless "
+                             "--expert-parallel > 1")
     parser.add_argument("--moe-balance-weight", default=0.0, type=float,
                         help="aux load-balance loss weight (0 = FastMoE naive-"
                              "gate parity)")

@@ -52,7 +52,8 @@ def make_train_step(model, update_fn, base_criterion, *,
                     ema_decay: typ.Optional[float] = None,
                     moe_balance_weight: float = 0.0,
                     mixup_fn=None, bce_loss: bool = False,
-                    augment_fn=None, donate: bool = True):
+                    augment_fn=None, donate: bool = True,
+                    set_training_mode: bool = True):
     """Build the jitted train step.
 
     Args:
@@ -85,8 +86,11 @@ def make_train_step(model, update_fn, base_criterion, *,
             variables = {"params": params}
             if state.gates:
                 variables["gates"] = state.gates
+            # set_training_mode=False keeps dropout/droppath off while still
+            # training (reference engine.py:36 model.train(set_training_mode),
+            # used for DeiT finetuning, main.py:837)
             out, mut = model.apply(
-                variables, images, deterministic=False,
+                variables, images, deterministic=not set_training_mode,
                 rngs={"dropout": drop_rng}, mutable=["moe_metrics"],
             )
             if isinstance(out, tuple):

@@ -62,6 +62,9 @@ def build_model(args, nb_classes: int):
     )
     name = args.model
     if "moe" in name:
+        dispatch = args.moe_dispatch
+        if dispatch == "auto":
+            dispatch = "capacity" if args.expert_parallel > 1 else "ragged"
         kwargs.update(
             starting_threshold=args.starting_threshold,
             target_threshold=args.target_threshold,
@@ -70,6 +73,7 @@ def build_model(args, nb_classes: int):
             capacity_factor=args.capacity_factor,
             eval_capacity_factor=args.eval_capacity_factor,
             parity_dense=args.parity_dense_moe,
+            dispatch_mode=dispatch,
         )
     return create_model(name, **kwargs)
 
@@ -103,6 +107,9 @@ def _make_loaders(args, dataset_train, dataset_val, task_dataset_val):
 
 
 def main(args):
+    from .parallel.distributed import init_distributed_mode
+
+    init_distributed_mode(args)
     print(args)
     if args.distillation_type != "none" and args.finetune and not args.eval:
         raise NotImplementedError(
@@ -147,6 +154,7 @@ def main(args):
     opt_init, opt_update = optim.make_optimizer(
         probe_state.params, weight_decay=args.weight_decay, betas=betas,
         eps=args.opt_eps, clip_grad=args.clip_grad,
+        trainable_mask=optim.attn_only_mask if args.attn_only else None,
     )
     state = create_train_state(model, input_shape, seed=seed,
                                opt_init=opt_init, use_ema=args.model_ema)
@@ -192,6 +200,7 @@ def main(args):
         moe_balance_weight=args.moe_balance_weight,
         mixup_fn=mixup_fn, bce_loss=args.bce_loss,
         augment_fn=device_augment,
+        set_training_mode=args.train_mode,
     )
     eval_step_pre = engine.make_eval_step(model, preprocess_fn=eval_normalize)
 
@@ -237,6 +246,8 @@ def main(args):
                 lr, args.epochs, warmup_epochs=args.warmup_epochs,
                 warmup_lr=args.warmup_lr, min_lr=args.min_lr,
                 cooldown_epochs=args.cooldown_epochs,
+                noise_range=args.lr_noise, noise_pct=args.lr_noise_pct,
+                noise_std=args.lr_noise_std, noise_seed=args.seed,
             )
 
             current_task_end = (nb_classes * (task_idx + 1)) // args.num_tasks

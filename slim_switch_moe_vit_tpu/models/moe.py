@@ -23,6 +23,14 @@ from .gates import METRICS_COLLECTION
 
 
 class MoEMlp(nn.Module):
+    """dispatch_mode:
+    - 'ragged' (default): dropless sort-based grouped GEMMs via lax.ragged_dot
+      — exact FastMoE dropless semantics, fastest single-chip.
+    - 'capacity': static per-expert capacity buffers — required for expert
+      parallelism (all_to_all needs fixed shapes) and capacity-factor sweeps.
+    - 'dense': exact O(E) oracle (tests/parity only).
+    """
+
     num_experts: int = 8
     top_k: int = 2
     hidden_features: int = 768
@@ -31,6 +39,7 @@ class MoEMlp(nn.Module):
     eval_capacity_factor: float = 2.0
     dtype: typ.Any = jnp.float32
     parity_dense: bool = False
+    dispatch_mode: str = "ragged"
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
@@ -62,12 +71,19 @@ class MoEMlp(nn.Module):
             dropout_rng = self.make_rng("dropout")
         cf = self.eval_capacity_factor if deterministic else self.capacity_factor
 
-        y, aux = moe_ops.moe_forward(
-            flat, router_w, router_b, w1, b1, w2, b2,
-            top_k=self.top_k, capacity_factor=cf,
-            dropout_rng=dropout_rng, drop_rate=self.drop,
-            shard_buf=lambda b: constrain(b, (EXPERT_AXIS, None, None)),
-        )
+        if self.dispatch_mode == "ragged":
+            y, aux = moe_ops.moe_forward_ragged(
+                flat, router_w, router_b, w1, b1, w2, b2,
+                top_k=self.top_k,
+                dropout_rng=dropout_rng, drop_rate=self.drop,
+            )
+        else:
+            y, aux = moe_ops.moe_forward(
+                flat, router_w, router_b, w1, b1, w2, b2,
+                top_k=self.top_k, capacity_factor=cf,
+                dropout_rng=dropout_rng, drop_rate=self.drop,
+                shard_buf=lambda b: constrain(b, (EXPERT_AXIS, None, None)),
+            )
         for k, v in aux.items():
             self.sow(METRICS_COLLECTION, k, v,
                      reduce_fn=lambda a, b: b, init_fn=lambda: jnp.asarray(0.0))

@@ -55,6 +55,7 @@ class ResMoEBlock(nn.Module):
     capacity_factor: float = 2.0
     eval_capacity_factor: float = 2.0
     parity_dense: bool = False
+    dispatch_mode: str = "ragged"
     # Gate config
     starting_threshold: float = 1.0
     target_threshold: float = 0.9
@@ -72,7 +73,8 @@ class ResMoEBlock(nn.Module):
             hidden_features=int(self.dim * self.mlp_ratio), drop=self.drop,
             capacity_factor=self.capacity_factor,
             eval_capacity_factor=self.eval_capacity_factor,
-            dtype=self.dtype, parity_dense=self.parity_dense, name="mlp",
+            dtype=self.dtype, parity_dense=self.parity_dense,
+            dispatch_mode=self.dispatch_mode, name="mlp",
         )
         self.dense_gate = TokenGate(
             starting_threshold=self.starting_threshold,
@@ -111,6 +113,7 @@ def _moe_kwargs(kwargs):
         capacity_factor=kwargs.pop("capacity_factor", 2.0),
         eval_capacity_factor=kwargs.pop("eval_capacity_factor", 2.0),
         parity_dense=kwargs.pop("parity_dense", False),
+        dispatch_mode=kwargs.pop("dispatch_mode", "ragged"),
     )
 
 
@@ -123,6 +126,7 @@ def _resmoe_vit(embed_dim, num_heads, moe, **kwargs):
             capacity_factor=moe["capacity_factor"],
             eval_capacity_factor=moe["eval_capacity_factor"],
             parity_dense=moe["parity_dense"],
+            dispatch_mode=moe["dispatch_mode"],
             starting_threshold=moe["starting_threshold"],
             target_threshold=moe["target_threshold"], **bk,
         )
@@ -143,7 +147,8 @@ def _moe_vit(embed_dim, num_heads, moe, **kwargs):
             hidden_features=int(dim * ratio), drop=drop,
             capacity_factor=moe["capacity_factor"],
             eval_capacity_factor=moe["eval_capacity_factor"],
-            dtype=dtype, parity_dense=moe["parity_dense"], name="mlp",
+            dtype=dtype, parity_dense=moe["parity_dense"],
+            dispatch_mode=moe["dispatch_mode"], name="mlp",
         )
 
     return VisionTransformer(

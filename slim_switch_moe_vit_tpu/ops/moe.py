@@ -190,6 +190,64 @@ def moe_forward(x: jnp.ndarray, router_w, router_b, w1, b1, w2, b2, *,
     return y.astype(x.dtype), aux
 
 
+def moe_forward_ragged(x: jnp.ndarray, router_w, router_b, w1, b1, w2, b2, *,
+                       top_k: int = 2,
+                       activation: typ.Callable = partial(jax.nn.gelu,
+                                                          approximate=False),
+                       dropout_rng=None, drop_rate: float = 0.0):
+    """Dropless sort-based MoE — the fast single-chip path.
+
+    Exactly FastMoE's dropless semantics (no capacity, no token dropping) with
+    a TPU-native implementation: stable argsort groups the (token, choice)
+    pairs by expert, ``lax.ragged_dot`` runs the per-expert GEMMs over the
+    ragged groups directly on the MXU, and an inverse-permutation gather
+    restores token order. No scatter anywhere — XLA scatters serialize on TPU
+    and were the bottleneck of the capacity path single-chip.
+    """
+    T, d = x.shape
+    E = w1.shape[0]
+    logits = jnp.dot(x.astype(jnp.float32), router_w.astype(jnp.float32)) + router_b
+    gate_w, expert_idx = naive_topk_gate(logits, top_k)
+
+    flat_e = expert_idx.reshape(-1)                      # (T*k) token-major
+    sort_idx = jnp.argsort(flat_e, stable=True)          # group by expert
+    e_sorted = flat_e[sort_idx]
+    xs = jnp.take(x, sort_idx // top_k, axis=0)          # (T*k, d) gather
+    onehot_sorted = jax.nn.one_hot(e_sorted, E, dtype=xs.dtype)  # (T*k, E)
+    group_sizes = jnp.sum(
+        jax.nn.one_hot(flat_e, E, dtype=jnp.int32), axis=0)
+
+    # bias-add as a one-hot matmul: its transpose (the bias gradient) is then
+    # onehot^T @ dh — an MXU GEMM. A direct b[e_sorted] gather makes XLA lower
+    # the bias grad as a 50k-row segment-sum (~20ms/step at ViT-tiny/b128).
+    h = jax.lax.ragged_dot(xs, w1.astype(xs.dtype), group_sizes,
+                           preferred_element_type=xs.dtype)
+    h = h + jnp.dot(onehot_sorted, b1.astype(xs.dtype),
+                    preferred_element_type=xs.dtype)
+    h = activation(h)
+    if dropout_rng is not None and drop_rate > 0.0:
+        mask = jax.random.bernoulli(dropout_rng, 1.0 - drop_rate, h.shape)
+        h = jnp.where(mask, h / (1.0 - drop_rate), 0.0)
+    h = h.astype(xs.dtype)
+    out = jax.lax.ragged_dot(h, w2.astype(xs.dtype), group_sizes,
+                             preferred_element_type=xs.dtype)
+    out = out + jnp.dot(onehot_sorted, b2.astype(xs.dtype),
+                        preferred_element_type=xs.dtype)
+
+    inv = jnp.argsort(sort_idx).reshape(T, top_k)        # unsort, per choice
+    # combine as k separate row-gathers + weighted adds: a (T, k, d) gather +
+    # einsum over k tiles as T(2,128) and runs ~3x slower (profiled)
+    y = jnp.zeros((T, d), out.dtype)
+    for kk in range(top_k):
+        yk = jnp.take(out, inv[:, kk], axis=0)
+        y = y + yk * gate_w[:, kk:kk + 1].astype(yk.dtype)
+    aux = {
+        "balance_loss": load_balance_loss(logits, expert_idx, E),
+        "drop_fraction": jnp.asarray(0.0, jnp.float32),
+    }
+    return y.astype(x.dtype), aux
+
+
 def moe_dense(x: jnp.ndarray, router_w, router_b, w1, b1, w2, b2, *,
               top_k: int = 2,
               activation: typ.Callable = partial(jax.nn.gelu, approximate=False)):

@@ -63,19 +63,63 @@ def gate_mask(params):
     return jax.tree_util.tree_map_with_path(lambda p, _: is_gate_param(p), params)
 
 
+def attn_only_mask(params):
+    """Trainable mask for ``--attn-only`` finetuning (reference
+    main.py:575-595): attention params, the classifier head, and pos_embed
+    train; patch embed and everything else freeze."""
+
+    def f(path, _):
+        names = _path_names(path)
+        if any(n == "patch_embed" for n in names):
+            return False
+        if any("attn" in n for n in names):
+            return True
+        if names and names[0] in ("head", "head_dist", "fc", "pos_embed"):
+            return True
+        return False
+
+    return jax.tree_util.tree_map_with_path(f, params)
+
+
 class TimmCosineSchedule:
     """lr(epoch) per param group, matching timm CosineLRScheduler defaults as
     driven by the reference CLI (sched=cosine, warmup_prefix False)."""
 
     def __init__(self, base_lr: float, epochs: int, warmup_epochs: int = 5,
                  warmup_lr: float = 1e-6, min_lr: float = 1e-5,
-                 cooldown_epochs: int = 10):
+                 cooldown_epochs: int = 10,
+                 noise_range: typ.Optional[typ.Sequence[float]] = None,
+                 noise_pct: float = 0.67, noise_std: float = 1.0,
+                 noise_seed: int = 42):
         self.base_lr = base_lr
         self.epochs = epochs
         self.warmup_epochs = warmup_epochs
         self.warmup_lr = warmup_lr
         self.min_lr = min_lr
         self.cooldown_epochs = cooldown_epochs
+        # timm lr-noise: epoch percentages of t_initial (--lr-noise pct pct)
+        self.noise_range = None
+        if noise_range:
+            rng = [p * epochs if p < 1.0 else p for p in noise_range]
+            self.noise_range = (rng[0], rng[1] if len(rng) > 1 else epochs)
+        self.noise_pct = noise_pct
+        self.noise_std = noise_std
+        self.noise_seed = noise_seed
+
+    def _noise(self, epoch: int) -> float:
+        """timm Scheduler._calculate_noise: per-epoch seeded gaussian clipped
+        to +/- noise_pct."""
+        if self.noise_range is None:
+            return 0.0
+        if not (self.noise_range[0] <= epoch < self.noise_range[1]):
+            return 0.0
+        import numpy as np
+
+        g = np.random.RandomState(self.noise_seed + epoch)
+        while True:
+            n = g.randn() * self.noise_std
+            if abs(n) < self.noise_pct:
+                return float(n)
 
     def scale(self, epoch: int) -> float:
         """Relative multiplier applied to every group's base lr. Warmup is an
@@ -90,9 +134,10 @@ class TimmCosineSchedule:
         if epoch >= self.epochs:
             return self.min_lr
         t = epoch / max(self.epochs, 1)
-        return self.min_lr + 0.5 * (self.base_lr - self.min_lr) * (
+        lr = self.min_lr + 0.5 * (self.base_lr - self.min_lr) * (
             1.0 + math.cos(math.pi * t)
         )
+        return lr * (1.0 + self._noise(epoch))
 
 
 def scaled_lr(lr: float, batch_size: int, world_size: int,
@@ -106,7 +151,8 @@ def scaled_lr(lr: float, batch_size: int, world_size: int,
 def make_optimizer(params, *, weight_decay: float = 0.05,
                    betas: typ.Tuple[float, float] = (0.9, 0.999),
                    eps: float = 1e-8,
-                   clip_grad: typ.Optional[float] = None):
+                   clip_grad: typ.Optional[float] = None,
+                   trainable_mask=None):
     """AdamW core transforms; LR is applied separately per group in
     ``apply_updates_two_group`` so it can change per epoch without re-init.
 
@@ -122,12 +168,19 @@ def make_optimizer(params, *, weight_decay: float = 0.05,
     tx = optax.chain(*chain)
 
     gmask = gate_mask(params)
+    tmask = trainable_mask(params) if trainable_mask is not None else None
 
     def update(grads, state, params, lr_base, lr_gate):
+        if tmask is not None:
+            grads = jax.tree.map(
+                lambda g, t: jnp.where(t, g, 0.0), grads, tmask)
         updates, state = tx.update(grads, state, params)
         updates = jax.tree.map(
             lambda u, g: -jnp.where(g, lr_gate, lr_base) * u, updates, gmask
         )
+        if tmask is not None:
+            updates = jax.tree.map(
+                lambda u, t: jnp.where(t, u, 0.0), updates, tmask)
         return updates, state
 
     return tx.init, update

@@ -66,6 +66,38 @@ def test_moe_forward_matches_dense_when_no_drop(top_k):
     assert float(aux["drop_fraction"]) == 0.0
 
 
+@pytest.mark.parametrize("top_k", [1, 2])
+def test_moe_ragged_matches_dense(top_k):
+    key = jax.random.PRNGKey(7)
+    p = _params(key)
+    x = jax.random.normal(jax.random.PRNGKey(8), (32, 16))
+    y, aux = moe_ops.moe_forward_ragged(
+        x, p["router_w"], p["router_b"], p["w1"], p["b1"], p["w2"], p["b2"],
+        top_k=top_k,
+    )
+    y_ref = moe_ops.moe_dense(
+        x, p["router_w"], p["router_b"], p["w1"], p["b1"], p["w2"], p["b2"],
+        top_k=top_k,
+    )
+    np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref), atol=1e-4)
+    assert float(aux["drop_fraction"]) == 0.0  # dropless by construction
+
+
+def test_moe_ragged_grads_flow():
+    p = _params(jax.random.PRNGKey(9))
+    x = jax.random.normal(jax.random.PRNGKey(10), (16, 16))
+
+    def loss(params):
+        y, _ = moe_ops.moe_forward_ragged(
+            x, params["router_w"], params["router_b"],
+            params["w1"], params["b1"], params["w2"], params["b2"], top_k=2)
+        return jnp.sum(y ** 2)
+
+    g = jax.grad(loss)(p)
+    for name in ["router_w", "w1", "w2", "b1", "b2"]:
+        assert float(jnp.abs(g[name]).sum()) > 0, name
+
+
 def test_moe_forward_grads_flow():
     p = _params(jax.random.PRNGKey(3))
     x = jax.random.normal(jax.random.PRNGKey(4), (16, 16))

@@ -17,7 +17,8 @@ def _moe_forward(model, variables, x):
 
 def test_expert_parallel_matches_single_device():
     model = create_model("moe_tiny_patch16_224_expert8", num_classes=10,
-                         img_size=32, capacity_factor=8.0)
+                         img_size=32, capacity_factor=8.0,
+                         dispatch_mode="capacity")
     x = jax.random.normal(jax.random.PRNGKey(0), (8, 32, 32, 3))
     variables = model.init({"params": jax.random.PRNGKey(1)}, x,
                            deterministic=True)
