@@ -23,15 +23,26 @@ def _to_pil(img: np.ndarray):
     return Image.fromarray(img)
 
 
-def random_resized_crop(img: np.ndarray, size: int, rng: np.random.RandomState,
-                        scale=(0.08, 1.0), ratio=(3 / 4, 4 / 3),
-                        interpolation: str = "bicubic") -> np.ndarray:
-    """timm RandomResizedCropAndInterpolation semantics."""
+def _crop_resize(img: np.ndarray, i: int, j: int, h: int, w: int, size: int,
+                 interp_name: str) -> np.ndarray:
+    """Crop+bicubic resize: native C++ path when built, PIL otherwise."""
+    if interp_name == "bicubic":
+        from .native_loader import crop_resize, native_available
+
+        if native_available():
+            return crop_resize(img, i, j, h, w, size)
     from PIL import Image
 
-    H, W = img.shape[:2]
+    interp = Image.BICUBIC if interp_name == "bicubic" else Image.BILINEAR
+    pil = _to_pil(img).crop((j, i, j + w, i + h)).resize((size, size), interp)
+    return np.asarray(pil, dtype=np.uint8)
+
+
+def rrc_params(img_shape, rng: np.random.RandomState, scale=(0.08, 1.0),
+               ratio=(3 / 4, 4 / 3)):
+    """RandomResizedCrop box sampling (timm semantics). Returns (i, j, h, w)."""
+    H, W = img_shape[:2]
     area = H * W
-    interp = Image.BICUBIC if interpolation == "bicubic" else Image.BILINEAR
     for _ in range(10):
         target_area = area * rng.uniform(*scale)
         log_ratio = (np.log(ratio[0]), np.log(ratio[1]))
@@ -41,9 +52,7 @@ def random_resized_crop(img: np.ndarray, size: int, rng: np.random.RandomState,
         if 0 < w <= W and 0 < h <= H:
             i = rng.randint(0, H - h + 1)
             j = rng.randint(0, W - w + 1)
-            pil = _to_pil(img).crop((j, i, j + w, i + h)).resize((size, size), interp)
-            return np.asarray(pil, dtype=np.uint8)
-    # fallback: center crop
+            return i, j, h, w
     in_ratio = W / H
     if in_ratio < ratio[0]:
         w, h = W, int(round(W / ratio[0]))
@@ -51,27 +60,36 @@ def random_resized_crop(img: np.ndarray, size: int, rng: np.random.RandomState,
         h, w = H, int(round(H * ratio[1]))
     else:
         w, h = W, H
-    i, j = (H - h) // 2, (W - w) // 2
-    pil = _to_pil(img).crop((j, i, j + w, i + h)).resize((size, size), interp)
-    return np.asarray(pil, dtype=np.uint8)
+    return (H - h) // 2, (W - w) // 2, h, w
+
+
+def random_resized_crop(img: np.ndarray, size: int, rng: np.random.RandomState,
+                        scale=(0.08, 1.0), ratio=(3 / 4, 4 / 3),
+                        interpolation: str = "bicubic") -> np.ndarray:
+    """timm RandomResizedCropAndInterpolation semantics."""
+    i, j, h, w = rrc_params(img.shape, rng, scale, ratio)
+    return _crop_resize(img, i, j, h, w, size, interpolation)
 
 
 def resize_center_crop(img: np.ndarray, size: int,
                        crop_ratio: float = 0.875) -> np.ndarray:
-    """Eval path: short side → size/crop_ratio (==256 for 224), center crop."""
-    from PIL import Image
+    """Eval path: short side → size/crop_ratio (==256 for 224), center crop.
 
-    scale_size = int(size / crop_ratio)
+    Equivalent single-pass form: crop the centered region whose short side is
+    ``short * crop_ratio`` (aspect preserved) and bicubic-resize to size² —
+    what resize-then-crop computes, without materializing the large resize.
+    """
     H, W = img.shape[:2]
+    scale_size = int(size / crop_ratio)
     if H < W:
-        nh, nw = scale_size, int(round(W * scale_size / H))
+        ch = int(round(H * size / scale_size))
+        cw = ch
     else:
-        nh, nw = int(round(H * scale_size / W)), scale_size
-    pil = _to_pil(img).resize((nw, nh), Image.BICUBIC)
-    top = (nh - size) // 2
-    left = (nw - size) // 2
-    pil = pil.crop((left, top, left + size, top + size))
-    return np.asarray(pil, dtype=np.uint8)
+        cw = int(round(W * size / scale_size))
+        ch = cw
+    i = (H - ch) // 2
+    j = (W - cw) // 2
+    return _crop_resize(img, i, j, ch, cw, size, "bicubic")
 
 
 def simple_random_crop(img: np.ndarray, size: int, rng: np.random.RandomState,
