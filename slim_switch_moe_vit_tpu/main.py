@@ -183,13 +183,21 @@ def main(args):
         teacher_model = create_model(args.teacher_model,
                                      num_classes=nb_classes,
                                      img_size=args.input_size)
-        t_state = create_train_state(teacher_model, input_shape, seed=0)
-        t_params = import_torch_checkpoint(args.teacher_path, teacher_model,
-                                           t_state.params)
+        if "regnet" in args.teacher_model:
+            from .models.regnet import import_torch_regnet
+
+            t_vars = teacher_model.init(
+                {"params": jax.random.PRNGKey(0)},
+                jnp.zeros(input_shape, jnp.float32))
+            t_vars = import_torch_regnet(args.teacher_path, teacher_model,
+                                         t_vars)
+        else:
+            t_state = create_train_state(teacher_model, input_shape, seed=0)
+            t_vars = {"params": import_torch_checkpoint(
+                args.teacher_path, teacher_model, t_state.params)}
 
         def teacher_apply(images):
-            return teacher_model.apply({"params": t_params}, images,
-                                       deterministic=True)
+            return teacher_model.apply(t_vars, images, deterministic=True)
 
     train_step_pre = engine.make_train_step(
         model, opt_update, base_criterion,

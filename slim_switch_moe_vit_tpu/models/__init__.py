@@ -5,6 +5,7 @@ on timm's import-time registration, ``models/__init__.py:1-2``).
 """
 from . import zoo  # noqa: F401
 from . import resmoe  # noqa: F401
+from . import regnet  # noqa: F401
 from . import sparse  # noqa: F401
 from . import switchable  # noqa: F401
 from .gates import TokenGate  # noqa: F401
