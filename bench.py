@@ -75,16 +75,14 @@ def main():
 
     ips = batch * K / dt
 
-    # roofline target from XLA's own FLOP count of one train step
-    try:
-        ca = k_steps.lower(state).compile().cost_analysis()
-        if isinstance(ca, list):
-            ca = ca[0]
-        step_flops = float(ca["flops"]) / K
-    except Exception:
-        step_flops = 1.88e12  # measured previously for this config
+    # roofline target from the analytic model FLOPs (XLA cost_analysis counts
+    # the scan body inconsistently across backends); train ~= 3x forward
+    from slim_switch_moe_vit_tpu.ops.flops import vit_flops
+
+    fwd_per_image = vit_flops(1, img, 16, 384, 12, 4.0, 1000, moe=True,
+                              num_experts=8, top_k=2)
     peak = 197e12  # v5e bf16
-    roofline_ips = peak * batch / step_flops
+    roofline_ips = peak / (3 * fwd_per_image)
     target = 0.9 * roofline_ips
 
     print(json.dumps({

@@ -94,7 +94,7 @@ def _make_loaders(args, dataset_train, dataset_val, task_dataset_val):
 
     loader_train = DataLoader(dataset_train, sampler_train, args.batch_size,
                               drop_last=True, num_workers=args.num_workers)
-    loader_val = DataLoader(dataset_val, SequentialSampler(len(dataset_val)),
+    loader_val = DataLoader(dataset_val, sampler_val,
                             int(1.5 * args.batch_size), drop_last=False,
                             num_workers=args.num_workers)
     loader_task_val = None

@@ -1,10 +1,17 @@
-"""Pallas row gather / scatter-add — the MoE token-exchange kernels.
+"""Pallas row gather / scatter-add — EXPERIMENTAL, not wired into the model.
 
-The FastMoE CUDA `local_exchange` (token reorder) equivalent for TPU. XLA
-lowers `jnp.take(x, idx, axis=0)` over ~50k rows to a serialized per-row loop
-(~0.3 µs/row ≈ 15 ms/step at ViT-tiny/b128 — profiled); these kernels instead
-keep the source table VMEM-resident (slabbed over the feature dim when it
-doesn't fit) and move rows with on-chip dynamic indexing.
+Status: correct under the Pallas interpreter; on the current hardware
+toolchain the compiled kernels return wrong values (suspected Mosaic
+revisit/aliasing issue with the accumulator output block) AND an isolated
+`jnp.take` turns out to be fast (~1.3 ms for 50k x 384 rows), so the model's
+MoE path uses XLA gathers. Kept as the starting point for a fused dispatch
+kernel; do not use in production paths until the hardware-correctness test in
+tests/test_gather_pallas.py::test_on_device is enabled and green.
+
+Design notes: the FastMoE CUDA `local_exchange` analog. Source table lives
+VMEM-resident (slabbed over features); Mosaic requires dynamic sublane indices
+provably 8-aligned, so rows are moved via aligned 8-row tiles + masked sublane
+reductions (`pl.multiple_of` supplies the alignment proof).
 
 - ``gather_rows(x, idx)``: out[i] = x[idx[i]]; differentiable (backward is the
   scatter-add kernel).
@@ -33,34 +40,65 @@ def _round_up(a, m):
 
 def _gather_kernel(idx_ref, x_ref, o_ref):
     """Grid cell (j: feature slab, i: row block). x_ref: (N, slab) VMEM slab;
-    o_ref: (block_m, slab); idx_ref: full (M,) scalar-prefetch."""
-    i = pl.program_id(1)
-    block_m = o_ref.shape[0]
+    o_ref: (block_m, slab); idx_ref: full (M,) scalar-prefetch.
 
-    def body(r, _):
-        src = idx_ref[i * block_m + r]
-        o_ref[r, :] = x_ref[src, :]
+    Mosaic requires dynamic sublane indices provably 8-aligned, so each source
+    row is fetched as its aligned 8-row tile and extracted with a masked
+    sublane reduction (vectorized on the VPU).
+    """
+    i = pl.program_id(1)
+    block_m, slab = o_ref.shape
+    sub = jax.lax.broadcasted_iota(jnp.int32, (8, slab), 0)
+
+    def group(g, _):
+        # build one aligned 8-row output tile from 8 arbitrary source rows
+        def one(p, acc):
+            src = idx_ref[i * block_m + g * 8 + p]
+            base = pl.multiple_of((src // 8) * 8, 8)
+            tile = x_ref[pl.ds(base, 8), :].astype(jnp.float32)
+            phase = src - base
+            row = jnp.sum(jnp.where(sub == phase, tile, 0.0), axis=0)
+            return acc + jnp.where(sub == p, row[None, :], 0.0)
+
+        acc = jax.lax.fori_loop(0, 8, one, jnp.zeros((8, slab), jnp.float32))
+        o_ref[pl.ds(pl.multiple_of(g * 8, 8), 8), :] = acc.astype(o_ref.dtype)
         return ()
 
-    jax.lax.fori_loop(0, block_m, body, ())
+    jax.lax.fori_loop(0, block_m // 8, group, ())
 
 
 def _scatter_add_kernel(idx_ref, g_ref, o_ref):
     """Grid cell (j: feature slab, i: row block). o_ref: (rows_pad, slab)
-    accumulator, revisited across i; g_ref: (block_m, slab)."""
+    accumulator, revisited across i; g_ref: (block_m, slab). Aligned-tile
+    read-modify-write with a sublane mask (see gather kernel)."""
     i = pl.program_id(1)
-    block_m = g_ref.shape[0]
+    block_m, slab = g_ref.shape
+    sub = jax.lax.broadcasted_iota(jnp.int32, (8, slab), 0)
 
     @pl.when(i == 0)
     def _():
         o_ref[:, :] = jnp.zeros_like(o_ref)
 
-    def body(r, _):
-        dst = idx_ref[i * block_m + r]
-        o_ref[dst, :] = o_ref[dst, :] + g_ref[r, :]
+    def group(g, _):
+        gtile = g_ref[pl.ds(pl.multiple_of(g * 8, 8), 8), :].astype(
+            jnp.float32)
+
+        def one(p, _):
+            dst = idx_ref[i * block_m + g * 8 + p]
+            base = pl.multiple_of((dst // 8) * 8, 8)
+            phase = dst - base
+            # extract source row p from gtile, add into dst row of its tile
+            row = jnp.sum(jnp.where(sub == p, gtile, 0.0), axis=0)
+            tile = o_ref[pl.ds(base, 8), :]
+            tile = tile + jnp.where(sub == phase, row[None, :], 0.0).astype(
+                tile.dtype)
+            o_ref[pl.ds(base, 8), :] = tile
+            return ()
+
+        jax.lax.fori_loop(0, 8, one, ())
         return ()
 
-    jax.lax.fori_loop(0, block_m, body, ())
+    jax.lax.fori_loop(0, block_m // 8, group, ())
 
 
 def _gather_impl(x, idx, block_m=1024, interpret=False):
