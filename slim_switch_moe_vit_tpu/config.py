@@ -178,6 +178,14 @@ def get_args_parser():
                              "gate parity)")
     parser.add_argument("--parity-dense-moe", action="store_true",
                         help="exact dropless MoE (O(E) compute) for parity runs")
+    parser.add_argument("--resmoe-mode", default="parity",
+                        choices=["parity", "compact"],
+                        help="token-skip execution: parity = reference zero-"
+                             "mask semantics (full-length attention); compact"
+                             " = gather top-capacity tokens and run short "
+                             "sequences (real FLOP savings)")
+    parser.add_argument("--token-capacity", default=1.0, type=float,
+                        help="fraction of tokens computed in compact mode")
     parser.add_argument("--use-flash-attention", action="store_true",
                         help="Pallas flash-attention kernel for long sequences")
     parser.add_argument("--synth-size", default=512, type=int,

@@ -74,6 +74,8 @@ def build_model(args, nb_classes: int):
             eval_capacity_factor=args.eval_capacity_factor,
             parity_dense=args.parity_dense_moe,
             dispatch_mode=dispatch,
+            resmoe_mode=args.resmoe_mode,
+            token_capacity=args.token_capacity,
         )
     return create_model(name, **kwargs)
 

@@ -59,6 +59,14 @@ class ResMoEBlock(nn.Module):
     # Gate config
     starting_threshold: float = 1.0
     target_threshold: float = 0.9
+    # Token-skip execution mode:
+    # - 'parity': reference semantics — skipped tokens are zero-masked but
+    #   attention/MoE still run over the full sequence (resMoE.py:132-143).
+    # - 'compact': TPU fast mode — the top ceil(N * token_capacity) tokens by
+    #   gate keep-score are gathered, the sub-block runs on the short
+    #   sequence, results scatter back. Saves real FLOPs (static shapes).
+    mode: str = "parity"
+    token_capacity: float = 1.0
 
     def setup(self):
         self.norm1 = LayerNorm(name="norm1")
@@ -86,19 +94,52 @@ class ResMoEBlock(nn.Module):
         )
         self.drop_path_mod = DropPath(self.drop_path, name="drop_path")
 
+    def _compact_apply(self, fn, x, keep_w, deterministic):
+        """Gather the top-C tokens by keep weight, run ``fn`` on the short
+        sequence, scatter back; non-selected tokens contribute zero (they ride
+        the residual, same as a zero gate weight in parity mode)."""
+        import numpy as np
+
+        B, N, d = x.shape
+        C = int(np.ceil(N * self.token_capacity))
+        C = min(((C + 7) // 8) * 8, N)  # sublane-friendly
+        order = jnp.argsort(-keep_w[..., 0], axis=-1, stable=True)  # kept first
+        sel = order[:, :C]
+        batch_idx = jnp.arange(B)[:, None]
+        short = jnp.take_along_axis(x, sel[..., None], axis=1)
+        out_short = fn(short)
+        out = jnp.zeros_like(x).at[batch_idx, sel].set(
+            out_short.astype(x.dtype))
+        # gate weight still multiplies (STE gradient path), and tokens beyond
+        # capacity are zeroed even if their gate said keep
+        in_sel = jnp.zeros((B, N), bool).at[batch_idx, sel].set(True)
+        return out * keep_w.astype(x.dtype) * in_sel[..., None].astype(x.dtype)
+
     def __call__(self, x, deterministic: bool = True):
+        compact = self.mode == "compact"
+
         x = self.norm1(x)
         mask = self.dense_gate(x, deterministic=deterministic)
         skip = x * mask[..., 0:1].astype(x.dtype)
         tk = x * mask[..., 1:2].astype(x.dtype)
-        y = self.attn(tk, deterministic=deterministic)
+        if compact:
+            y = self._compact_apply(
+                lambda s: self.attn(s, deterministic=deterministic),
+                x, mask[..., 1:2], deterministic)
+        else:
+            y = self.attn(tk, deterministic=deterministic)
         x = self.drop_path_mod(y, deterministic=deterministic) + tk + skip
 
         x = self.norm2(x)
         mask = self.moe_gate(x, deterministic=deterministic)
         skip = x * mask[..., 0:1].astype(x.dtype)
         tk = x * mask[..., 1:2].astype(x.dtype)
-        y = self.mlp(tk, deterministic=deterministic)
+        if compact:
+            y = self._compact_apply(
+                lambda s: self.mlp(s, deterministic=deterministic),
+                x, mask[..., 1:2], deterministic)
+        else:
+            y = self.mlp(tk, deterministic=deterministic)
         x = self.drop_path_mod(y, deterministic=deterministic) + tk + skip
         return x
 
@@ -114,6 +155,8 @@ def _moe_kwargs(kwargs):
         eval_capacity_factor=kwargs.pop("eval_capacity_factor", 2.0),
         parity_dense=kwargs.pop("parity_dense", False),
         dispatch_mode=kwargs.pop("dispatch_mode", "ragged"),
+        mode=kwargs.pop("resmoe_mode", "parity"),
+        token_capacity=kwargs.pop("token_capacity", 1.0),
     )
 
 
@@ -127,6 +170,7 @@ def _resmoe_vit(embed_dim, num_heads, moe, **kwargs):
             eval_capacity_factor=moe["eval_capacity_factor"],
             parity_dense=moe["parity_dense"],
             dispatch_mode=moe["dispatch_mode"],
+            mode=moe["mode"], token_capacity=moe["token_capacity"],
             starting_threshold=moe["starting_threshold"],
             target_threshold=moe["target_threshold"], **bk,
         )

@@ -1,12 +1,14 @@
 """Pallas row gather / scatter-add — EXPERIMENTAL, not wired into the model.
 
-Status: correct under the Pallas interpreter; on the current hardware
-toolchain the compiled kernels return wrong values (suspected Mosaic
-revisit/aliasing issue with the accumulator output block) AND an isolated
-`jnp.take` turns out to be fast (~1.3 ms for 50k x 384 rows), so the model's
-MoE path uses XLA gathers. Kept as the starting point for a fused dispatch
-kernel; do not use in production paths until the hardware-correctness test in
-tests/test_gather_pallas.py::test_on_device is enabled and green.
+Status: CORRECT on hardware and in the interpreter (an earlier wrong-values
+report was a slab-divisibility bug in the grid, since fixed), but slower than
+the XLA primitives at MoE sizes: gather 5.0 ms vs `jnp.take` 1.26 ms, scatter
+4.5 ms vs `.at[].add` 1.39 ms (50k x 384 bf16 rows). The masked 8-row-tile
+extraction costs ~16 VPU ops per row; XLA's row ops run ~30 GB/s — both far
+from the ~300 GB/s streaming bound. The real win is fusing the gather into
+the expert GEMM (megablocks-style, rows read once from HBM as GEMM operands) —
+these kernels are the staging point for that. The model's MoE path uses XLA
+gathers meanwhile.
 
 Design notes: the FastMoE CUDA `local_exchange` analog. Source table lives
 VMEM-resident (slabbed over features); Mosaic requires dynamic sublane indices
@@ -106,7 +108,8 @@ def _gather_impl(x, idx, block_m=1024, interpret=False):
     M = idx.shape[0]
     m_pad = _round_up(M, block_m)
     d_pad = _round_up(D, 128)
-    slab = min(FEATURE_SLAB, d_pad)
+    # slab must divide d_pad or the grid silently skips columns
+    slab = FEATURE_SLAB if d_pad % FEATURE_SLAB == 0 else 128
     n_pad = _round_up(N, 8)
     x_p = jnp.pad(x, ((0, n_pad - N), (0, d_pad - D)))
     idx_p = jnp.pad(idx.astype(jnp.int32), (0, m_pad - M))
@@ -131,7 +134,8 @@ def _scatter_add_impl(g, idx, num_rows, block_m=1024, interpret=False):
     M, D = g.shape
     m_pad = _round_up(M, block_m)
     d_pad = _round_up(D, 128)
-    slab = min(FEATURE_SLAB, d_pad)
+    # slab must divide d_pad or the grid silently skips columns
+    slab = FEATURE_SLAB if d_pad % FEATURE_SLAB == 0 else 128
     rows_pad = _round_up(num_rows + 1, 8)  # +1 dump row for padded entries
     g_p = jnp.pad(g, ((0, m_pad - M), (0, d_pad - D)))
     idx_p = jnp.pad(idx.astype(jnp.int32), (0, m_pad - M),
