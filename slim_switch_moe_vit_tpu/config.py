@@ -191,6 +191,9 @@ def get_args_parser():
     parser.add_argument("--synth-size", default=512, type=int,
                         help="SYNTH dataset size")
     parser.add_argument("--synth-classes", default=10, type=int)
+    parser.add_argument("--synth-learnable", action="store_true",
+                        help="SYNTH labels become a visual function of the "
+                             "image (learning sanity check)")
     parser.add_argument("--max-steps-per-epoch", default=None, type=int,
                         help="truncate epochs (smoke tests)")
     return parser

@@ -48,14 +48,20 @@ class ArrayDataset:
 
 class SynthDataset:
     """Deterministic random dataset for smoke tests / benches (no real data
-    mounted). Image i is a fixed pseudo-random uint8 tensor."""
+    mounted). Image i is a fixed pseudo-random uint8 tensor.
+
+    ``learnable=True`` makes the label a visual function of the image (which
+    horizontal band carries a bright stripe — flip-invariant, so the standard
+    hflip augmentation doesn't corrupt labels), so a short training run must
+    beat chance — an end-to-end learning sanity check."""
 
     def __init__(self, n: int, img_size: int, nb_classes: int, transform=None,
-                 seed: int = 0):
+                 seed: int = 0, learnable: bool = False):
         self.n = n
         self.img_size = img_size
         self.nb_classes = nb_classes
         self.transform = transform
+        self.learnable = learnable
         rng = np.random.RandomState(seed)
         self.targets = rng.randint(0, nb_classes, size=n).astype(np.int64)
 
@@ -65,6 +71,15 @@ class SynthDataset:
     def __getitem__(self, idx):
         rng = np.random.RandomState(idx + 12345)
         img = rng.randint(0, 256, (self.img_size, self.img_size, 3), np.uint8)
+        if self.learnable:
+            cls = int(self.targets[idx]) % 4
+            s = self.img_size // 4
+            y0 = cls * s
+            # bright stripe in the class band (hflip-invariant)
+            img[y0:y0 + s] = np.minimum(
+                img[y0:y0 + s].astype(np.int32) + 120, 255
+            ).astype(np.uint8)
+            self.targets[idx] = cls
         if self.transform is not None:
             img = self.transform(img)
         return img, int(self.targets[idx])
@@ -184,8 +199,12 @@ def build_dataset(is_train: bool, args):
     if args.data_set == "SYNTH":
         n = getattr(args, "synth_size", 512)
         nb_classes = getattr(args, "synth_classes", 10)
+        learnable = getattr(args, "synth_learnable", False)
+        if learnable:
+            nb_classes = 4
         return SynthDataset(n, args.input_size, nb_classes,
-                            transform=transform), nb_classes
+                            transform=transform,
+                            learnable=learnable), nb_classes
     if args.data_set == "CIFAR100":
         x, y = _load_cifar(args.data_path, is_train, cifar100=True)
         return ArrayDataset(x, y, transform=transform), 100

@@ -79,3 +79,18 @@ def test_train_transform_small_image_uses_src():
     img = np.random.RandomState(0).randint(0, 256, (32, 32, 3), np.uint8)
     out = tr(img)
     assert out.shape == (32, 32, 3)
+
+
+def test_synth_learnable_labels_match_blob():
+    from slim_switch_moe_vit_tpu.data.datasets import SynthDataset
+
+    ds = SynthDataset(32, 32, 4, learnable=True)
+    for i in range(16):
+        img, t = ds[i]
+        s = 8
+        bands = [img[b * s:(b + 1) * s].mean() for b in range(4)]
+        assert int(np.argmax(bands)) == t
+        # flip invariance: mirrored image keeps the same label feature
+        flipped = img[:, ::-1]
+        bands_f = [flipped[b * s:(b + 1) * s].mean() for b in range(4)]
+        assert int(np.argmax(bands_f)) == t
