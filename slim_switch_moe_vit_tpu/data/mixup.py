@@ -54,13 +54,32 @@ def _rand_bbox(rng, H: int, W: int, lam):
     return y0, y1, x0, x1, lam_corr
 
 
+def _rand_bbox_minmax(rng, H: int, W: int, minmax):
+    """timm rand_bbox_minmax (cutmix_minmax mode): box height/width sampled
+    independently as a ratio in [minmax[0], minmax[1]] of each side; lam is
+    the true kept-area ratio."""
+    kh, kw, ky, kx = jax.random.split(rng, 4)
+    cut_h = jax.random.randint(kh, (), int(minmax[0] * H),
+                               max(int(minmax[1] * H), int(minmax[0] * H) + 1))
+    cut_w = jax.random.randint(kw, (), int(minmax[0] * W),
+                               max(int(minmax[1] * W), int(minmax[0] * W) + 1))
+    y0 = jax.random.randint(ky, (), 0, H - cut_h + 1)
+    x0 = jax.random.randint(kx, (), 0, W - cut_w + 1)
+    lam = 1.0 - (cut_h * cut_w).astype(jnp.float32) / float(H * W)
+    return y0, y0 + cut_h, x0, x0 + cut_w, lam
+
+
 def make_mixup_fn(*, mixup_alpha: float = 0.8, cutmix_alpha: float = 1.0,
+                  cutmix_minmax: typ.Optional[typ.Sequence[float]] = None,
                   prob: float = 1.0, switch_prob: float = 0.5,
                   label_smoothing: float = 0.1, num_classes: int = 1000
                   ) -> typ.Callable:
-    """Returns fn(rng, images(B,H,W,C), int_labels(B)) -> (images, soft_targets)."""
+    """Returns fn(rng, images(B,H,W,C), int_labels(B)) -> (images, soft_targets).
+
+    ``cutmix_minmax`` overrides cutmix_alpha and enables cutmix with
+    min/max box-ratio sampling (timm semantics, reference main.py:293-298)."""
     use_mixup = mixup_alpha > 0.0
-    use_cutmix = cutmix_alpha > 0.0
+    use_cutmix = cutmix_alpha > 0.0 or cutmix_minmax is not None
 
     def apply(rng, x, labels):
         B, H, W, C = x.shape
@@ -81,7 +100,11 @@ def make_mixup_fn(*, mixup_alpha: float = 0.8, cutmix_alpha: float = 1.0,
         x_mix = lam_m.astype(x.dtype) * x + (1.0 - lam_m).astype(x.dtype) * x_rev
 
         # cutmix branch (static-shape mask via iota comparison)
-        y0, y1, x0, x1, lam_c_corr = _rand_bbox(k_box, H, W, lam_c)
+        if cutmix_minmax is not None:
+            y0, y1, x0, x1, lam_c_corr = _rand_bbox_minmax(
+                k_box, H, W, cutmix_minmax)
+        else:
+            y0, y1, x0, x1, lam_c_corr = _rand_bbox(k_box, H, W, lam_c)
         row = jax.lax.broadcasted_iota(jnp.int32, (H, W), 0)
         col = jax.lax.broadcasted_iota(jnp.int32, (H, W), 1)
         in_box = ((row >= y0) & (row < y1) & (col >= x0) & (col < x1))

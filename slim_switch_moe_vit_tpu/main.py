@@ -134,6 +134,7 @@ def main(args):
     if mix_on:
         mixup_fn = make_mixup_fn(
             mixup_alpha=args.mixup, cutmix_alpha=args.cutmix,
+            cutmix_minmax=args.cutmix_minmax,
             prob=args.mixup_prob, switch_prob=args.mixup_switch_prob,
             label_smoothing=args.smoothing, num_classes=nb_classes,
         )

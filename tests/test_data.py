@@ -115,3 +115,17 @@ def test_rehearsal_memory_semantics():
     # contents are a mix of old and new
     vals = set(mem.batch.tolist())
     assert any(v >= 100 for v in vals)
+
+
+def test_cutmix_minmax_box_ratio():
+    fn = make_mixup_fn(mixup_alpha=0.0, cutmix_alpha=0.0,
+                       cutmix_minmax=[0.3, 0.6], num_classes=10,
+                       label_smoothing=0.0)
+    x = jnp.ones((4, 32, 32, 3))
+    y = jnp.array([0, 1, 2, 3])
+    for seed in range(5):
+        xm, ym = fn(jax.random.PRNGKey(seed), x, y)
+        # lam = max target weight; box area ratio in [0.09, 0.36]
+        lam = float(jnp.max(ym[0]))
+        area = 1.0 - lam
+        assert 0.3 * 0.3 - 1e-6 <= area <= 0.6 * 0.6 + 1e-6, (seed, area)
