@@ -167,7 +167,7 @@ def get_args_parser():
                         help="train-time expert capacity factor")
     parser.add_argument("--eval-capacity-factor", default=2.0, type=float)
     parser.add_argument("--moe-dispatch", default="auto",
-                        choices=["auto", "ragged", "capacity", "dense"],
+                        choices=["auto", "ragged", "capacity", "expert_choice", "dense"],
                         help="MoE dispatch: ragged (dropless sort-based, "
                              "fastest single-chip), capacity (static buffers, "
                              "needed for expert parallelism), dense (exact "

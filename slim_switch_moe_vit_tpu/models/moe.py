@@ -28,6 +28,8 @@ class MoEMlp(nn.Module):
       — exact FastMoE dropless semantics, fastest single-chip.
     - 'capacity': static per-expert capacity buffers — required for expert
       parallelism (all_to_all needs fixed shapes) and capacity-factor sweeps.
+    - 'expert_choice': experts pick their top-capacity tokens (Zhou et al.
+      2022) — perfectly balanced, sort-free; NOT FastMoE parity.
     - 'dense': exact O(E) oracle (tests/parity only).
     """
 
@@ -75,6 +77,12 @@ class MoEMlp(nn.Module):
             y, aux = moe_ops.moe_forward_ragged(
                 flat, router_w, router_b, w1, b1, w2, b2,
                 top_k=self.top_k,
+                dropout_rng=dropout_rng, drop_rate=self.drop,
+            )
+        elif self.dispatch_mode == "expert_choice":
+            y, aux = moe_ops.moe_forward_expert_choice(
+                flat, router_w, router_b, w1, b1, w2, b2,
+                capacity_factor=cf,
                 dropout_rng=dropout_rng, drop_rate=self.drop,
             )
         else:

@@ -248,6 +248,46 @@ def moe_forward_ragged(x: jnp.ndarray, router_w, router_b, w1, b1, w2, b2, *,
     return y.astype(x.dtype), aux
 
 
+def moe_forward_expert_choice(x: jnp.ndarray, router_w, router_b, w1, b1,
+                              w2, b2, *, capacity_factor: float = 2.0,
+                              capacity: typ.Optional[int] = None,
+                              activation: typ.Callable = partial(
+                                  jax.nn.gelu, approximate=False),
+                              dropout_rng=None, drop_rate: float = 0.0):
+    """Expert-choice routing (Zhou et al. 2022): each EXPERT picks its top-C
+    tokens instead of each token picking experts.
+
+    Not a FastMoE-parity mode — an additional capability. TPU-friendly by
+    construction: no sorts, one row gather of regular (E, C) shape, grouped
+    GEMM over (E, C, d), weighted scatter-add back. Perfect load balance by
+    definition (no aux loss needed); tokens may be served by 0..E experts.
+
+    capacity C defaults to ceil(T * capacity_factor / E).
+    """
+    T, d = x.shape
+    E = w1.shape[0]
+    logits = jnp.dot(x.astype(jnp.float32), router_w.astype(jnp.float32)) + router_b
+    # affinity softmax over experts per token, then experts choose tokens
+    probs = jax.nn.softmax(logits, axis=-1)  # (T, E)
+    if capacity is None:
+        capacity = int(T * capacity_factor / E) + 1
+        capacity = min(((capacity + 7) // 8) * 8, T)
+    gate_w, token_idx = jax.lax.top_k(probs.T, capacity)  # (E, C) each
+    xs = jnp.take(x, token_idx.reshape(-1), axis=0)       # (E*C, d)
+    buf = xs.reshape(E, capacity, d)
+    out = grouped_ffn(buf, w1, b1, w2, b2, activation=activation,
+                      dropout_rng=dropout_rng, drop_rate=drop_rate)
+    # combine: y[t] += gate * out[e, c] for each chosen (e, c)
+    flat = out.reshape(E * capacity, d) * gate_w.reshape(-1, 1).astype(out.dtype)
+    y = jnp.zeros((T, d), flat.dtype).at[token_idx.reshape(-1)].add(flat)
+    served = jnp.zeros((T,), jnp.float32).at[token_idx.reshape(-1)].add(1.0)
+    aux = {
+        "balance_loss": jnp.asarray(0.0, jnp.float32),  # balanced by design
+        "drop_fraction": jnp.mean((served == 0).astype(jnp.float32)),
+    }
+    return y.astype(x.dtype), aux
+
+
 def moe_dense(x: jnp.ndarray, router_w, router_b, w1, b1, w2, b2, *,
               top_k: int = 2,
               activation: typ.Callable = partial(jax.nn.gelu, approximate=False)):

@@ -132,3 +132,45 @@ def test_load_balance_loss_uniform_is_one():
     idx = jnp.stack([jnp.arange(T) % E, (jnp.arange(T) + 1) % E], axis=1)
     loss = moe_ops.load_balance_loss(logits, idx.astype(jnp.int32), E)
     np.testing.assert_allclose(float(loss), 1.0, rtol=1e-5)
+
+
+def test_expert_choice_basic_properties():
+    key = jax.random.PRNGKey(11)
+    p = _params(key)
+    x = jax.random.normal(jax.random.PRNGKey(12), (32, 16))
+    y, aux = moe_ops.moe_forward_expert_choice(
+        x, p["router_w"], p["router_b"], p["w1"], p["b1"], p["w2"], p["b2"],
+        capacity=8)
+    assert y.shape == x.shape
+    assert np.isfinite(np.asarray(y)).all()
+    assert float(aux["balance_loss"]) == 0.0
+    # with capacity = T every expert takes every token -> y = sum_e p_e*f_e(x)
+    y_full, _ = moe_ops.moe_forward_expert_choice(
+        x, p["router_w"], p["router_b"], p["w1"], p["b1"], p["w2"], p["b2"],
+        capacity=32)
+    logits = np.asarray(x @ p["router_w"] + p["router_b"])
+    probs = np.exp(logits) / np.exp(logits).sum(-1, keepdims=True)
+    want = np.zeros((32, 16), np.float32)
+    for e in range(4):
+        h = np.asarray(jax.nn.gelu(jnp.asarray(
+            np.asarray(x) @ np.asarray(p["w1"][e]) + np.asarray(p["b1"][e])),
+            approximate=False))
+        o = h @ np.asarray(p["w2"][e]) + np.asarray(p["b2"][e])
+        want += probs[:, e:e+1] * o
+    np.testing.assert_allclose(np.asarray(y_full), want, atol=1e-3)
+
+
+def test_expert_choice_grads_flow():
+    p = _params(jax.random.PRNGKey(13))
+    x = jax.random.normal(jax.random.PRNGKey(14), (16, 16))
+
+    def loss(params):
+        y, _ = moe_ops.moe_forward_expert_choice(
+            x, params["router_w"], params["router_b"],
+            params["w1"], params["b1"], params["w2"], params["b2"],
+            capacity=8)
+        return jnp.sum(y ** 2)
+
+    g = jax.grad(loss)(p)
+    for name in ["router_w", "w1", "w2", "b1", "b2"]:
+        assert float(jnp.abs(g[name]).sum()) > 0, name
