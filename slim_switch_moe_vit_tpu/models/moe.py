@@ -84,6 +84,7 @@ class MoEMlp(nn.Module):
                 flat, router_w, router_b, w1, b1, w2, b2,
                 capacity_factor=cf,
                 dropout_rng=dropout_rng, drop_rate=self.drop,
+                shard_buf=lambda b: constrain(b, (EXPERT_AXIS, None, None)),
             )
         else:
             y, aux = moe_ops.moe_forward(

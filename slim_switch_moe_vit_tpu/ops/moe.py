@@ -253,7 +253,8 @@ def moe_forward_expert_choice(x: jnp.ndarray, router_w, router_b, w1, b1,
                               capacity: typ.Optional[int] = None,
                               activation: typ.Callable = partial(
                                   jax.nn.gelu, approximate=False),
-                              dropout_rng=None, drop_rate: float = 0.0):
+                              dropout_rng=None, drop_rate: float = 0.0,
+                              shard_buf: typ.Callable = lambda b: b):
     """Expert-choice routing (Zhou et al. 2022): each EXPERT picks its top-C
     tokens instead of each token picking experts.
 
@@ -274,9 +275,12 @@ def moe_forward_expert_choice(x: jnp.ndarray, router_w, router_b, w1, b1,
         capacity = min(((capacity + 7) // 8) * 8, T)
     gate_w, token_idx = jax.lax.top_k(probs.T, capacity)  # (E, C) each
     xs = jnp.take(x, token_idx.reshape(-1), axis=0)       # (E*C, d)
-    buf = xs.reshape(E, capacity, d)
+    # (E, C, d) buffer is static-shaped -> expert-parallel capable: the
+    # sharding constraint makes XLA all_to_all it to expert-sharded devices
+    buf = shard_buf(xs.reshape(E, capacity, d))
     out = grouped_ffn(buf, w1, b1, w2, b2, activation=activation,
                       dropout_rng=dropout_rng, drop_rate=drop_rate)
+    out = shard_buf(out)
     # combine: y[t] += gate * out[e, c] for each chosen (e, c)
     flat = out.reshape(E * capacity, d) * gate_w.reshape(-1, 1).astype(out.dtype)
     y = jnp.zeros((T, d), flat.dtype).at[token_idx.reshape(-1)].add(flat)

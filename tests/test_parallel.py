@@ -57,3 +57,44 @@ def test_shard_params_specs():
     qkv = sharded["blocks_0"]["attn"]["qkv"]["kernel"]
     assert all(s is None for s in tuple(qkv.sharding.spec)) or \
         tuple(qkv.sharding.spec) == ()
+
+
+def test_config5_vitb_32experts_expert_parallel():
+    """BASELINE.json config 5: ViT-B/16, 32 experts, expert-parallel, on the
+    virtual mesh (tiny shapes)."""
+    import jax.numpy as jnp
+
+    model = create_model("moe_base_patch16_224_expert32", num_classes=10,
+                         img_size=32, dispatch_mode="capacity",
+                         capacity_factor=8.0)
+    x = jax.random.normal(jax.random.PRNGKey(0), (8, 32, 32, 3))
+    variables = model.init({"params": jax.random.PRNGKey(1)}, x,
+                           deterministic=True)
+    w1 = variables["params"]["blocks_0"]["mlp"]["expert_fc1_kernel"]
+    assert w1.shape[0] == 32
+    mesh = make_mesh(n_data=2, n_expert=4)
+    with jax.set_mesh(mesh):
+        sharded = shard_params(variables["params"], mesh)
+        xs = jax.device_put(x, batch_sharding(mesh))
+        out = jax.jit(lambda p, x: model.apply({"params": p}, x,
+                                               deterministic=True))(sharded, xs)
+    assert out.shape == (8, 10)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_expert_choice_under_mesh_matches_single_device():
+    model = create_model("moe_tiny_patch16_224_expert8", num_classes=10,
+                         img_size=32, dispatch_mode="expert_choice",
+                         capacity_factor=2.0)
+    x = jax.random.normal(jax.random.PRNGKey(0), (8, 32, 32, 3))
+    variables = model.init({"params": jax.random.PRNGKey(1)}, x,
+                           deterministic=True)
+    ref = jax.jit(lambda v, x: model.apply(v, x, deterministic=True))(
+        variables, x)
+    mesh = make_mesh(n_data=2, n_expert=4)
+    with jax.set_mesh(mesh):
+        sharded = shard_params(variables["params"], mesh)
+        xs = jax.device_put(x, batch_sharding(mesh))
+        out = jax.jit(lambda p, x: model.apply({"params": p}, x,
+                                               deterministic=True))(sharded, xs)
+    np.testing.assert_allclose(np.asarray(ref), np.asarray(out), atol=2e-5)
