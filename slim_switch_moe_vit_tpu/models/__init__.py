@@ -11,5 +11,10 @@ from . import switchable  # noqa: F401
 from .gates import TokenGate  # noqa: F401
 from .moe import MoEMlp  # noqa: F401
 from .registry import create_model, list_models, register_model  # noqa: F401
+from .regnet import RegNet  # noqa: F401
 from .resmoe import ResMoEBlock  # noqa: F401
+from .sparse import SparseAttention, SparseBlock, SparseMlp  # noqa: F401
+from .switchable import (  # noqa: F401
+    SwitchableLayerNorm, SwitchableVisionTransformer,
+)
 from .vit import Attention, Block, VisionTransformer  # noqa: F401
