@@ -27,6 +27,16 @@ IMG_EXTENSIONS = (".jpg", ".jpeg", ".png", ".ppm", ".bmp", ".pgm", ".tif",
                   ".tiff", ".webp")
 
 
+def _apply_transform(transform, img, idx):
+    """Apply a transform, passing the sample index to transforms that derive
+    per-sample RNG from it (``wants_index``, see transforms.TrainTransform)."""
+    if transform is None:
+        return img
+    if getattr(transform, "wants_index", False):
+        return transform(img, idx)
+    return transform(img)
+
+
 class ArrayDataset:
     """In-memory uint8 images + int labels."""
 
@@ -40,9 +50,7 @@ class ArrayDataset:
         return len(self.images)
 
     def __getitem__(self, idx):
-        img = self.images[idx]
-        if self.transform is not None:
-            img = self.transform(img)
+        img = _apply_transform(self.transform, self.images[idx], idx)
         return img, int(self.targets[idx])
 
 
@@ -80,8 +88,7 @@ class SynthDataset:
                 img[y0:y0 + s].astype(np.int32) + 120, 255
             ).astype(np.uint8)
             self.targets[idx] = cls
-        if self.transform is not None:
-            img = self.transform(img)
+        img = _apply_transform(self.transform, img, idx)
         return img, int(self.targets[idx])
 
 
@@ -90,15 +97,18 @@ class FolderDataset:
     datasets.py:254-263). Decodes lazily with PIL."""
 
     def __init__(self, root: str, transform=None,
-                 class_filter: typ.Optional[typ.Callable] = None):
-        classes = sorted(
-            d.name for d in os.scandir(root) if d.is_dir()
-        )
-        if class_filter is not None:
-            classes = class_filter(classes)
-        self.class_to_idx = {c: i for i, c in enumerate(classes)}
+                 class_filter: typ.Optional[typ.Callable] = None,
+                 class_index: typ.Optional[typ.Dict[str, int]] = None):
+        if class_index is None:
+            classes = sorted(
+                d.name for d in os.scandir(root) if d.is_dir()
+            )
+            if class_filter is not None:
+                classes = class_filter(classes)
+            class_index = {c: i for i, c in enumerate(classes)}
+        self.class_to_idx = dict(class_index)
         self.samples: typ.List[typ.Tuple[str, int]] = []
-        for c in classes:
+        for c in sorted(self.class_to_idx):
             cdir = os.path.join(root, c)
             for fn in sorted(os.listdir(cdir)):
                 if fn.lower().endswith(IMG_EXTENSIONS):
@@ -116,43 +126,50 @@ class FolderDataset:
         path, target = self.samples[idx]
         img = Image.open(path).convert("RGB")
         img = np.asarray(img, dtype=np.uint8)
-        if self.transform is not None:
-            img = self.transform(img)
+        img = _apply_transform(self.transform, img, idx)
         return img, target
 
 
 class INatDataset(FolderDataset):
     """iNaturalist 2018/2019 from the official JSON annotation files
-    (reference: datasets.py:159-207), with category remapping."""
+    (behavioral parity: reference datasets.py:159-207).
+
+    Labels are dense ids for the chosen taxonomic attribute (``category`` ∈
+    name/kingdom/genus/...), assigned by first appearance while scanning the
+    *train*-split annotations — so train and val share one label space, and
+    coarser attributes collapse many species onto one id.
+    """
 
     def __init__(self, root, train=True, year=2018, transform=None,
                  category="name"):
-        path_json = os.path.join(root, f"{'train' if train else 'val'}{year}.json")
-        with open(path_json) as f:
-            data = json.load(f)
-        with open(os.path.join(root, "categories.json")) as f:
-            data_catg = json.load(f)
-        with open(os.path.join(root, f"train{year}.json")) as f:
-            data_for_targeter = json.load(f)
+        split = "train" if train else "val"
+        split_meta = self._read_json(root, f"{split}{year}.json")
+        taxonomy = self._read_json(root, "categories.json")
+        train_anns = self._read_json(root, f"train{year}.json")["annotations"]
 
-        targeter: typ.Dict[str, int] = {}
-        indexer = 0
-        for elem in data_for_targeter["annotations"]:
-            king = data_catg[int(elem["category_id"])][category]
-            if king not in targeter:
-                targeter[king] = indexer
-                indexer += 1
-        self.nb_classes = len(targeter)
+        label_of: typ.Dict[str, int] = {}
+        for ann in train_anns:
+            attr = taxonomy[int(ann["category_id"])][category]
+            label_of.setdefault(attr, len(label_of))
+        self.nb_classes = len(label_of)
 
         self.samples = []
-        for elem in data["images"]:
-            cut = elem["file_name"].split("/")
-            target_current = int(cut[2])
-            path_current = os.path.join(root, cut[0], cut[2], cut[3])
-            categors = data_catg[target_current]
-            self.samples.append((path_current, targeter[categors[category]]))
-        self.targets = np.asarray([t for _, t in self.samples], dtype=np.int64)
+        for rec in split_meta["images"]:
+            # file_name is "<split_dir>/<supercategory>/<cat_id>/<file>"; the
+            # on-disk layout has no supercategory level, so component [1] is
+            # dropped when rebuilding the path (reference does the same).
+            parts = rec["file_name"].split("/")
+            species = int(parts[2])
+            img_path = os.path.join(root, parts[0], parts[2], parts[3])
+            self.samples.append((img_path, label_of[taxonomy[species][category]]))
+        self.targets = np.asarray([lbl for _, lbl in self.samples],
+                                  dtype=np.int64)
         self.transform = transform
+
+    @staticmethod
+    def _read_json(root, name):
+        with open(os.path.join(root, name)) as f:
+            return json.load(f)
 
 
 class Subset:
@@ -190,6 +207,20 @@ def _load_cifar(path: str, train: bool, cifar100: bool):
     return np.ascontiguousarray(x), np.asarray(ys, dtype=np.int64)
 
 
+def _imagenet100_index(root: str) -> typ.Dict[str, int]:
+    """Class→label map for the 100-class ImageNet subset (behavioral parity:
+    reference datasets.py:210-236). A pickled map in ``./imnet100/`` (a
+    cwd-relative cache the reference environment ships) takes precedence so
+    the same 100 classes are used across runs; otherwise take the first 100
+    directories in OS scandir order, then sort for label assignment."""
+    if os.path.exists("imnet100"):
+        with open(os.path.join("imnet100", "train_class_to_idx.pkl"), "rb") as f:
+            return pickle.load(f)
+    chosen = [d.name for d in os.scandir(root) if d.is_dir()][:100]
+    chosen.sort()
+    return {c: i for i, c in enumerate(chosen)}
+
+
 def build_dataset(is_train: bool, args):
     """reference datasets.py:239-287 (+SYNTH)."""
     from .transforms import build_transform
@@ -223,7 +254,7 @@ def build_dataset(is_train: bool, args):
     if args.data_set == "IMNET100":
         root = os.path.join(args.data_path, "train" if is_train else "val")
         ds = FolderDataset(root, transform=transform,
-                           class_filter=lambda cs: sorted(cs[:100]))
+                           class_index=_imagenet100_index(root))
         return ds, 100
     if args.data_set == "INAT":
         ds = INatDataset(args.data_path, train=is_train, year=2018,

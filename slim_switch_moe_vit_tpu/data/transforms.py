@@ -116,24 +116,40 @@ def simple_random_crop(img: np.ndarray, size: int, rng: np.random.RandomState,
 
 
 class TrainTransform:
-    """Host geometry for training. Stateless w.r.t. sample index; per-call RNG
-    comes from a numpy RandomState seeded by the loader."""
+    """Host geometry for training.
+
+    Thread-safe + reproducible: each call derives a fresh RandomState from
+    (seed, epoch, sample index) via SeedSequence, so concurrent loader workers
+    never share RNG state and two runs with the same seed produce identical
+    batches regardless of thread scheduling (torch worker-seeding parity:
+    reference main.py:757-786). Call ``set_epoch`` next to the sampler's."""
+
+    wants_index = True
 
     def __init__(self, input_size: int, src: bool = False,
                  interpolation: str = "bicubic", seed: int = 0):
         self.input_size = input_size
         self.src = src
         self.interpolation = interpolation
-        self.rng = np.random.RandomState(seed)
+        self.seed = seed
+        self.epoch = 0
 
-    def __call__(self, img: np.ndarray) -> np.ndarray:
+    def set_epoch(self, epoch: int):
+        self.epoch = epoch
+
+    def _rng(self, index: int) -> np.random.RandomState:
+        ss = np.random.SeedSequence([self.seed, self.epoch, int(index)])
+        return np.random.RandomState(ss.generate_state(1)[0])
+
+    def __call__(self, img: np.ndarray, index: int = 0) -> np.ndarray:
+        rng = self._rng(index)
         small = min(img.shape[:2]) <= 32 and self.input_size <= 32
         if small or self.src:
-            return simple_random_crop(img, self.input_size, self.rng)
+            return simple_random_crop(img, self.input_size, rng)
         if img.shape[0] == img.shape[1] == self.input_size:
             # already target-sized (e.g. SYNTH) — RRC still applies for aug
             pass
-        return random_resized_crop(img, self.input_size, self.rng,
+        return random_resized_crop(img, self.input_size, rng,
                                    interpolation=self.interpolation)
 
 

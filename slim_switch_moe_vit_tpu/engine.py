@@ -155,10 +155,32 @@ def train_one_epoch(state: TrainState, train_step, data_loader, epoch: int,
                     lr_base: float, lr_gate: float, *, print_freq: int = 10,
                     max_steps: typ.Optional[int] = None,
                     abort_on_nan: bool = True):
-    """Host epoch loop (reference engine.py:22-85). Returns (state, stats)."""
+    """Host epoch loop (reference engine.py:22-85). Returns (state, stats).
+
+    Async metric fetch: device→host transfers stall the accelerator, so step
+    metrics are buffered as device arrays and fetched only every
+    ``print_freq`` steps (and at epoch end). The NaN abort (reference
+    engine.py:56-60) therefore fires up to print_freq-1 steps late — the same
+    window CUDA's async queue gives the reference in practice.
+    """
     metric_logger = MetricLogger(delimiter="  ")
     metric_logger.add_meter("lr", SmoothedValue(window_size=1, fmt="{value:.6f}"))
     header = f"Epoch: [{epoch}]"
+
+    window: typ.List[dict] = []  # un-fetched device metrics
+
+    def drain():
+        for m in window:
+            loss_value = float(m["loss"])
+            if abort_on_nan and not math.isfinite(loss_value):
+                # reference crash-fast behavior (engine.py:56-60)
+                print(f"Loss is {loss_value}, stopping training")
+                sys.exit(1)
+            extra = {k: float(m[k]) for k in
+                     ("balance_loss", "drop_fraction", "skip_fraction")
+                     if k in m}
+            metric_logger.update(loss=loss_value, lr=lr_base, **extra)
+        window.clear()
 
     n = 0
     for samples, targets in metric_logger.log_every(data_loader, print_freq, header):
@@ -166,19 +188,14 @@ def train_one_epoch(state: TrainState, train_step, data_loader, epoch: int,
             state, jnp.asarray(samples), jnp.asarray(targets),
             jnp.asarray(lr_base, jnp.float32), jnp.asarray(lr_gate, jnp.float32),
         )
-        loss_value = float(metrics["loss"])
-        if abort_on_nan and not math.isfinite(loss_value):
-            # reference crash-fast behavior (engine.py:56-60)
-            print(f"Loss is {loss_value}, stopping training")
-            sys.exit(1)
-        metric_logger.update(loss=loss_value, lr=lr_base)
-        for k in ("balance_loss", "drop_fraction", "skip_fraction"):
-            if k in metrics:
-                metric_logger.update(**{k: float(metrics[k])})
+        window.append(metrics)
         n += 1
+        if n % print_freq == 0:
+            drain()
         if max_steps is not None and n >= max_steps:
             break
 
+    drain()
     metric_logger.synchronize_between_processes()
     print("Averaged stats:", metric_logger)
     return state, {k: m.global_avg for k, m in metric_logger.meters.items()}

@@ -113,9 +113,9 @@ def main(args):
 
     init_distributed_mode(args)
     print(args)
-    if args.distillation_type != "none" and args.finetune and not args.eval:
-        raise NotImplementedError(
-            "Finetuning with distillation not yet supported")
+    # finetune + distillation compose freely, as in the reference
+    # (main.py:532-573 loads the student ckpt, :666-694 builds the teacher —
+    # the two paths are independent there and here)
 
     seed = args.seed + jax.process_index()
     np.random.seed(seed)
@@ -294,6 +294,11 @@ def main(args):
             for epoch in range(max(task_idx * args.epochs, start_epoch),
                                (task_idx + 1) * args.epochs):
                 sampler_train.set_epoch(epoch)
+                ds = loader_train.dataset
+                tf = getattr(ds, "transform", None) or getattr(
+                    getattr(ds, "dataset", None), "transform", None)
+                if hasattr(tf, "set_epoch"):
+                    tf.set_epoch(epoch)
                 epoch_in_task = epoch - task_idx * args.epochs
                 lr_e = sched(epoch_in_task)
                 lr_gate_e = args.gate_lr * (lr_e / lr if lr > 0 else 1.0)
@@ -325,8 +330,12 @@ def main(args):
                         state.gates, anneal_plan, epoch_in_task))
 
                 if output_dir:
+                    # reference saves args with every checkpoint
+                    # (main.py:898-906) so a resumed run can reconstruct its
+                    # config
                     save_checkpoint(str(output_dir / "checkpoint"), state,
-                                    epoch, is_main=is_main_process())
+                                    epoch, extra={"args": vars(args)},
+                                    is_main=is_main_process())
 
                 test_stats = engine.evaluate(
                     state, eval_step_pre, loader_val,
@@ -351,6 +360,7 @@ def main(args):
                     if output_dir:
                         save_checkpoint(str(output_dir / "best_checkpoint"),
                                         state, epoch,
+                                        extra={"args": vars(args)},
                                         is_main=is_main_process())
                 print(f"Max accuracy: {max_accuracy:.2f}%")
                 if writer:

@@ -34,7 +34,13 @@ def _ckptr():
 
 def save_checkpoint(path: str, state, epoch: int, extra: typ.Optional[dict] = None,
                     is_main: bool = True):
-    """Write the train-state payload (rank-0 only, reference utils.py:264-266)."""
+    """Write the train-state payload (rank-0 only, reference utils.py:264-266).
+
+    ``extra={"args": vars(args)}`` mirrors the reference's per-checkpoint args
+    record (``main.py:898-906``); it lands in a JSON sidecar
+    ``<path>.args.json`` (Orbax pytrees hold arrays, not namespaces) so a
+    resumed run can reconstruct its config via ``load_checkpoint_args``.
+    """
     if not is_main:
         return
     payload = {
@@ -46,10 +52,28 @@ def save_checkpoint(path: str, state, epoch: int, extra: typ.Optional[dict] = No
         "step": state.step,
         "epoch": np.asarray(epoch),
     }
+    extra = dict(extra) if extra else {}
+    args_record = extra.pop("args", None)
     if extra:
         payload["extra"] = extra
     path = os.path.abspath(path)
     _ckptr().save(path, payload, force=True)
+    if args_record is not None:
+        import json
+
+        with open(path + ".args.json", "w") as f:
+            json.dump(args_record, f, indent=2, default=str)
+
+
+def load_checkpoint_args(path: str) -> typ.Optional[dict]:
+    """Read the args record saved next to a checkpoint, if present."""
+    import json
+
+    sidecar = os.path.abspath(path) + ".args.json"
+    if not os.path.exists(sidecar):
+        return None
+    with open(sidecar) as f:
+        return json.load(f)
 
 
 def restore_checkpoint(path: str, state) -> typ.Tuple[typ.Any, int]:

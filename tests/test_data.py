@@ -129,3 +129,53 @@ def test_cutmix_minmax_box_ratio():
         lam = float(jnp.max(ym[0]))
         area = 1.0 - lam
         assert 0.3 * 0.3 - 1e-6 <= area <= 0.6 * 0.6 + 1e-6, (seed, area)
+
+
+def test_loader_deterministic_with_workers():
+    """Per-sample RNG (seed, epoch, index) makes 8-worker runs reproducible
+    (torch worker-seeding parity, reference main.py:757-786)."""
+    def run(epoch):
+        ds, _ = build_dataset(True, _args(input_size=16, synth_size=48))
+        ds.transform.set_epoch(epoch)
+        loader = DataLoader(ds, SequentialSampler(len(ds)), batch_size=16,
+                            num_workers=8)
+        return [x.copy() for x, _ in loader]
+
+    a, b = run(0), run(0)
+    for xa, xb in zip(a, b):
+        np.testing.assert_array_equal(xa, xb)
+    # different epoch -> different augmentation stream
+    c = run(1)
+    assert any(not np.array_equal(xa, xc) for xa, xc in zip(a, c))
+
+
+def test_imagenet100_class_selection(tmp_path, monkeypatch):
+    """First-100-in-scandir-order then sorted; pickled map wins if present
+    (reference datasets.py:210-236)."""
+    import pickle as pkl
+
+    from PIL import Image
+
+    from slim_switch_moe_vit_tpu.data.datasets import _imagenet100_index
+
+    root = tmp_path / "val"
+    for name in ["n03", "n01", "n02"]:
+        (root / name).mkdir(parents=True)
+        Image.fromarray(np.zeros((4, 4, 3), np.uint8)).save(root / name / "x.jpg")
+    monkeypatch.chdir(tmp_path)
+
+    idx = _imagenet100_index(str(root))
+    assert sorted(idx) == ["n01", "n02", "n03"]
+    assert [idx[c] for c in sorted(idx)] == [0, 1, 2]
+
+    # a pickled class_to_idx (the reference's imnet100/ cache) takes precedence
+    (tmp_path / "imnet100").mkdir()
+    override = {"n02": 0, "n03": 1}
+    with open(tmp_path / "imnet100" / "train_class_to_idx.pkl", "wb") as f:
+        pkl.dump(override, f)
+    assert _imagenet100_index(str(root)) == override
+
+    ds, nb = build_dataset(False, _args(data_set="IMNET100",
+                                        data_path=str(tmp_path),
+                                        input_size=4))
+    assert nb == 100 and len(ds) == 2  # only the 2 pickled classes load

@@ -98,3 +98,27 @@ def test_expert_choice_under_mesh_matches_single_device():
         out = jax.jit(lambda p, x: model.apply({"params": p}, x,
                                                deterministic=True))(sharded, xs)
     np.testing.assert_allclose(np.asarray(ref), np.asarray(out), atol=2e-5)
+
+
+def test_ep_train_step_hlo_contains_all_to_all():
+    """Prove XLA actually inserts a global expert exchange (FastMoE's NCCL
+    all_to_all semantics, reference models/resMoE.py:6) rather than silently
+    all-gathering: compile the EP forward on a 2x4 mesh and scan the optimized
+    HLO for all-to-all collectives over the expert axis."""
+    model = create_model("moe_tiny_patch16_224_expert8", num_classes=10,
+                         img_size=32, capacity_factor=8.0,
+                         dispatch_mode="capacity")
+    x = jax.random.normal(jax.random.PRNGKey(0), (8, 32, 32, 3))
+    variables = model.init({"params": jax.random.PRNGKey(1)}, x,
+                           deterministic=True)
+
+    def loss(p, x):
+        return model.apply({"params": p}, x, deterministic=True).sum()
+
+    mesh = make_mesh(n_data=2, n_expert=4)
+    with jax.set_mesh(mesh):
+        sharded = shard_params(variables["params"], mesh)
+        xs = jax.device_put(x, batch_sharding(mesh))
+        compiled = jax.jit(jax.grad(loss)).lower(sharded, xs).compile()
+    hlo = compiled.as_text()
+    assert "all-to-all" in hlo, "EP dispatch compiled without an all_to_all"
