@@ -167,12 +167,15 @@ def get_args_parser():
                         help="train-time expert capacity factor")
     parser.add_argument("--eval-capacity-factor", default=2.0, type=float)
     parser.add_argument("--moe-dispatch", default="auto",
-                        choices=["auto", "ragged", "capacity", "expert_choice", "dense"],
-                        help="MoE dispatch: ragged (dropless sort-based, "
-                             "fastest single-chip), capacity (static buffers, "
-                             "needed for expert parallelism), dense (exact "
-                             "O(E) oracle). auto = ragged unless "
-                             "--expert-parallel > 1")
+                        choices=["auto", "fused", "ragged", "capacity",
+                                 "expert_choice", "dense"],
+                        help="MoE dispatch: fused (dropless + fused Pallas "
+                             "expert FFN, fastest on TPU), ragged (dropless "
+                             "sort-based lax.ragged_dot), capacity (static "
+                             "buffers, needed for expert parallelism), dense "
+                             "(exact O(E) oracle). auto = capacity when "
+                             "--expert-parallel > 1, else fused on TPU / "
+                             "ragged elsewhere")
     parser.add_argument("--moe-balance-weight", default=0.0, type=float,
                         help="aux load-balance loss weight (0 = FastMoE naive-"
                              "gate parity)")

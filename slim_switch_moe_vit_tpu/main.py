@@ -63,8 +63,8 @@ def build_model(args, nb_classes: int):
     name = args.model
     if "moe" in name:
         dispatch = args.moe_dispatch
-        if dispatch == "auto":
-            dispatch = "capacity" if args.expert_parallel > 1 else "ragged"
+        if dispatch == "auto" and args.expert_parallel > 1:
+            dispatch = "capacity"  # EP all_to_all needs static buffers
         kwargs.update(
             starting_threshold=args.starting_threshold,
             target_threshold=args.target_threshold,

@@ -24,8 +24,13 @@ from .gates import METRICS_COLLECTION
 
 class MoEMlp(nn.Module):
     """dispatch_mode:
+    - 'auto' (default): 'fused' on TPU, 'ragged' elsewhere (the Pallas kernel
+      would run interpreted off-TPU).
+    - 'fused': dropless sort-based dispatch + the fused Pallas expert-FFN
+      kernel (ops/fused_ffn.py) — exact FastMoE dropless semantics, fastest
+      single-chip; falls back to 'ragged' when expert dropout is active.
     - 'ragged' (default): dropless sort-based grouped GEMMs via lax.ragged_dot
-      — exact FastMoE dropless semantics, fastest single-chip.
+      — exact FastMoE dropless semantics, no Pallas dependency.
     - 'capacity': static per-expert capacity buffers — required for expert
       parallelism (all_to_all needs fixed shapes) and capacity-factor sweeps.
     - 'expert_choice': experts pick their top-capacity tokens (Zhou et al.
@@ -41,7 +46,7 @@ class MoEMlp(nn.Module):
     eval_capacity_factor: float = 2.0
     dtype: typ.Any = jnp.float32
     parity_dense: bool = False
-    dispatch_mode: str = "ragged"
+    dispatch_mode: str = "auto"
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
@@ -73,13 +78,25 @@ class MoEMlp(nn.Module):
             dropout_rng = self.make_rng("dropout")
         cf = self.eval_capacity_factor if deterministic else self.capacity_factor
 
-        if self.dispatch_mode == "ragged":
+        mode = self.dispatch_mode
+        if mode == "auto":
+            import jax
+
+            mode = "fused" if jax.default_backend() == "tpu" else "ragged"
+        if mode == "fused" and (dropout_rng is not None):
+            mode = "ragged"  # fused kernel has no dropout path
+
+        if mode == "fused":
+            y, aux = moe_ops.moe_forward_fused(
+                flat, router_w, router_b, w1, b1, w2, b2, top_k=self.top_k,
+            )
+        elif mode == "ragged":
             y, aux = moe_ops.moe_forward_ragged(
                 flat, router_w, router_b, w1, b1, w2, b2,
                 top_k=self.top_k,
                 dropout_rng=dropout_rng, drop_rate=self.drop,
             )
-        elif self.dispatch_mode == "expert_choice":
+        elif mode == "expert_choice":
             y, aux = moe_ops.moe_forward_expert_choice(
                 flat, router_w, router_b, w1, b1, w2, b2,
                 capacity_factor=cf,

@@ -55,7 +55,7 @@ class ResMoEBlock(nn.Module):
     capacity_factor: float = 2.0
     eval_capacity_factor: float = 2.0
     parity_dense: bool = False
-    dispatch_mode: str = "ragged"
+    dispatch_mode: str = "auto"
     # Gate config
     starting_threshold: float = 1.0
     target_threshold: float = 0.9
@@ -154,7 +154,7 @@ def _moe_kwargs(kwargs):
         capacity_factor=kwargs.pop("capacity_factor", 2.0),
         eval_capacity_factor=kwargs.pop("eval_capacity_factor", 2.0),
         parity_dense=kwargs.pop("parity_dense", False),
-        dispatch_mode=kwargs.pop("dispatch_mode", "ragged"),
+        dispatch_mode=kwargs.pop("dispatch_mode", "auto"),
         mode=kwargs.pop("resmoe_mode", "parity"),
         token_capacity=kwargs.pop("token_capacity", 1.0),
     )

@@ -248,6 +248,84 @@ def moe_forward_ragged(x: jnp.ndarray, router_w, router_b, w1, b1, w2, b2, *,
     return y.astype(x.dtype), aux
 
 
+def aligned_expert_layout(expert_idx: jnp.ndarray, num_experts: int,
+                          tile: int = 128):
+    """Sort (token, choice) pairs by expert with TILE-aligned group starts.
+
+    The fused Pallas FFN (``ops.fused_ffn``) requires every ``tile``-row block
+    to belong to exactly one expert. This computes a padded layout of static
+    size ``Tp = roundup(T*k, tile) + E*tile`` (each group's padding < tile)
+    where expert groups are contiguous and tile-aligned.
+
+    Returns:
+        gather_idx: (Tp,) int32 — source token for each padded slot (pad slots
+            point at token 0; their outputs are never read and their
+            cotangents are zero, so the value is irrelevant).
+        pair_slot: (T, k) int32 — padded slot of each (token, choice) pair.
+        e_of_tile: (Tp // tile,) int32 — owning expert of each row tile.
+    """
+    T, k = expert_idx.shape
+    TK = T * k
+    E = num_experts
+    Tp = ((TK + tile - 1) // tile) * tile + E * tile  # static
+    n_tiles = Tp // tile
+
+    flat = expert_idx.reshape(-1)
+    sort_idx = jnp.argsort(flat, stable=True)
+    e_sorted = flat[sort_idx]
+    group_sizes = jnp.sum(jax.nn.one_hot(flat, E, dtype=jnp.int32), axis=0)
+    starts = jnp.cumsum(group_sizes) - group_sizes
+    padded_sizes = ((group_sizes + tile - 1) // tile) * tile
+    padded_starts = jnp.cumsum(padded_sizes) - padded_sizes
+
+    pos = jnp.arange(TK, dtype=jnp.int32)
+    slot_sorted = pos - starts[e_sorted] + padded_starts[e_sorted]
+    # pair -> slot via a small s32 scatter (cheaper than a second argsort)
+    pair_slot = jnp.zeros((TK,), jnp.int32).at[sort_idx].set(slot_sorted)
+    gather_idx = jnp.zeros((Tp,), jnp.int32).at[slot_sorted].set(
+        sort_idx // k)
+
+    tile_starts = jnp.arange(n_tiles, dtype=jnp.int32) * tile
+    e_of_tile = jnp.clip(
+        jnp.searchsorted(padded_starts, tile_starts, side="right") - 1,
+        0, E - 1).astype(jnp.int32)
+    return gather_idx, pair_slot.reshape(T, k), e_of_tile
+
+
+def moe_forward_fused(x: jnp.ndarray, router_w, router_b, w1, b1, w2, b2, *,
+                      top_k: int = 2):
+    """Dropless MoE with the fused Pallas expert-FFN kernel.
+
+    Same semantics as ``moe_forward_ragged`` (FastMoE dropless, exact GELU,
+    no dropout support — callers fall back to ragged when drop_rate > 0).
+    The fc1+GELU+fc2 chain runs in one kernel per 128-row tile, keeping the
+    (rows, hidden) activation in VMEM — see ``ops/fused_ffn.py`` for the
+    measured HBM-traffic argument.
+    """
+    from .fused_ffn import fused_expert_ffn
+
+    T, d = x.shape
+    E = w1.shape[0]
+    logits = jnp.dot(x.astype(jnp.float32), router_w.astype(jnp.float32)) + router_b
+    gate_w, expert_idx = naive_topk_gate(logits, top_k)
+
+    gather_idx, pair_slot, e_of_tile = aligned_expert_layout(expert_idx, E)
+    xs = jnp.take(x, gather_idx, axis=0)
+    out = fused_expert_ffn(xs, w1.astype(x.dtype), b1.astype(jnp.float32),
+                           w2.astype(x.dtype), b2.astype(jnp.float32),
+                           e_of_tile)
+
+    y = jnp.zeros((T, d), out.dtype)
+    for kk in range(top_k):
+        yk = jnp.take(out, pair_slot[:, kk], axis=0)
+        y = y + yk * gate_w[:, kk:kk + 1].astype(yk.dtype)
+    aux = {
+        "balance_loss": load_balance_loss(logits, expert_idx, E),
+        "drop_fraction": jnp.asarray(0.0, jnp.float32),
+    }
+    return y.astype(x.dtype), aux
+
+
 def moe_forward_expert_choice(x: jnp.ndarray, router_w, router_b, w1, b1,
                               w2, b2, *, capacity_factor: float = 2.0,
                               capacity: typ.Optional[int] = None,
