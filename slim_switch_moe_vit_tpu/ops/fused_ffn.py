@@ -16,11 +16,14 @@ tiles share the same weight block, which Pallas detects via the index map).
 Padding rows carry zero cotangents by construction (they are never gathered
 by the combine step), so they contribute nothing to any gradient.
 
-Backward is a custom VJP with two more fused kernels:
-- dgrad: recomputes h = x@w1+b1 (MXU headroom is free; saving h would cost
-  155 MB/block of HBM), then dx = ((dy @ w2^T) * gelu'(h)) @ w1^T.
-- wgrad: same recompute; accumulates dw1/db1/dw2/db2 in VMEM f32 across the
-  consecutive tiles of each expert, spilling once per expert.
+Backward is a custom VJP with three more kernels:
+- dgrad: recomputes h = x@w1+b1 (cheaper than saving h: one extra tile GEMM
+  vs a 155 MB/block HBM round-trip), computes dx = ((dy@w2^T)*gelu'(h))@w1^T,
+  and spills dh and g=gelu(h) as bf16 (streams at full HBM bandwidth).
+- wgrad x2: single-dot kernels over the spills (dw1 = x^T@dh, dw2 = g^T@dy)
+  accumulating dw/db in VMEM f32 across each expert's consecutive tiles,
+  spilling once per expert. (Recomputing h in both wgrad halves instead was
+  measured at ~2.6 ms/block — compute-bound on the duplicated GEMMs.)
 """
 from __future__ import annotations
 
@@ -106,7 +109,8 @@ def _fwd(xs, w1, b1, w2, b2, e_of_tile):
 # backward: dx
 # ---------------------------------------------------------------------------
 
-def _dgrad_kernel(e_ref, dy_ref, x_ref, w1_ref, b1_ref, w2_ref, dx_ref):
+def _dgrad_kernel(e_ref, dy_ref, x_ref, w1_ref, b1_ref, w2_ref,
+                  dx_ref, dh_ref, g_ref):
     h = jnp.dot(x_ref[:], w1_ref[0], preferred_element_type=jnp.float32)
     h = h + b1_ref[0, 0].astype(jnp.float32)
     # dh = (dy @ w2^T) * gelu'(h)
@@ -118,6 +122,11 @@ def _dgrad_kernel(e_ref, dy_ref, x_ref, w1_ref, b1_ref, w2_ref, dx_ref):
         dh, w1_ref[0], (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32)
     dx_ref[:] = dx.astype(dx_ref.dtype)
+    # spill dh and g = gelu(h) so the wgrad kernels are single dots without
+    # the h recompute (wgrad recompute measured ~1.3 ms/half/block; these two
+    # bf16 spills stream at full HBM bandwidth instead)
+    dh_ref[:] = dh
+    g_ref[:] = _gelu(h).astype(g_ref.dtype)
 
 
 def _dgrad(dy, xs, w1, b1, w2, e_of_tile):
@@ -134,12 +143,20 @@ def _dgrad(dy, xs, w1, b1, w2, e_of_tile):
             pl.BlockSpec((1, 1, H), lambda i, e: (e[i], 0, 0)),
             pl.BlockSpec((1, H, D), lambda i, e: (e[i], 0, 0)),
         ],
-        out_specs=pl.BlockSpec((TILE_ROWS, D), lambda i, e: (i, 0)),
+        out_specs=[
+            pl.BlockSpec((TILE_ROWS, D), lambda i, e: (i, 0)),
+            pl.BlockSpec((TILE_ROWS, H), lambda i, e: (i, 0)),
+            pl.BlockSpec((TILE_ROWS, H), lambda i, e: (i, 0)),
+        ],
     )
     return pl.pallas_call(
         _dgrad_kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((Tp, D), xs.dtype),
+        out_shape=[
+            jax.ShapeDtypeStruct((Tp, D), xs.dtype),
+            jax.ShapeDtypeStruct((Tp, H), xs.dtype),
+            jax.ShapeDtypeStruct((Tp, H), xs.dtype),
+        ],
         interpret=_interpret(),
     )(e_of_tile, dy, xs, w1, b1[:, None], w2)
 
@@ -160,16 +177,10 @@ def _accumulate(first, refs_and_vals):
             ref[:] = ref[:] + val
 
 
-def _wgrad1_kernel(e_ref, dy_ref, x_ref, w1_ref, b1_ref, w2_ref,
-                   dw1_ref, db1_ref):
+def _wgrad1_kernel(e_ref, x_ref, dh_ref, dw1_ref, db1_ref):
     i = pl.program_id(0)
     first = jnp.logical_or(i == 0, e_ref[i] != e_ref[jnp.maximum(i - 1, 0)])
-    h = jnp.dot(x_ref[:], w1_ref[0], preferred_element_type=jnp.float32)
-    h = h + b1_ref[0, 0].astype(jnp.float32)
-    dyh = jax.lax.dot_general(
-        dy_ref[:], w2_ref[0], (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32)
-    dh = (dyh * _dgelu(h)).astype(x_ref.dtype)
+    dh = dh_ref[:]
     dw1 = jax.lax.dot_general(  # x^T @ dh -> (D, H)
         x_ref[:], dh, (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)[None]
@@ -177,39 +188,33 @@ def _wgrad1_kernel(e_ref, dy_ref, x_ref, w1_ref, b1_ref, w2_ref,
     _accumulate(first, [(dw1_ref, dw1), (db1_ref, db1)])
 
 
-def _wgrad2_kernel(e_ref, dy_ref, x_ref, w1_ref, b1_ref,
-                   dw2_ref, db2_ref):
+def _wgrad2_kernel(e_ref, g_ref, dy_ref, dw2_ref, db2_ref):
     i = pl.program_id(0)
     first = jnp.logical_or(i == 0, e_ref[i] != e_ref[jnp.maximum(i - 1, 0)])
-    h = jnp.dot(x_ref[:], w1_ref[0], preferred_element_type=jnp.float32)
-    h = h + b1_ref[0, 0].astype(jnp.float32)
-    g = _gelu(h).astype(x_ref.dtype)
     dw2 = jax.lax.dot_general(  # g^T @ dy -> (H, D)
-        g, dy_ref[:], (((0,), (0,)), ((), ())),
+        g_ref[:], dy_ref[:], (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)[None]
     db2 = jnp.sum(dy_ref[:].astype(jnp.float32), axis=0)[None, None]
     _accumulate(first, [(dw2_ref, dw2), (db2_ref, db2)])
 
 
-def _wgrad(dy, xs, w1, b1, w2, e_of_tile):
-    """Two pallas_calls (dw1+db1, dw2+db2): a single fused wgrad kernel holds
-    both f32 weight accumulators double-buffered and exceeds the 16 MiB VMEM
-    budget at d=384/h=1536. Each half recomputes h from x (MXU headroom)."""
+def _wgrad(dy, xs, dh, g, e_of_tile, E):
+    """Two single-dot pallas_calls (dw1+db1, dw2+db2) over the dh/g spills
+    from dgrad. A single fused kernel holding both f32 weight accumulators
+    double-buffered exceeds the 16 MiB VMEM budget at d=384/h=1536."""
     Tp, D = xs.shape
-    E, _, H = w1.shape
+    H = dh.shape[1]
     n_tiles = Tp // TILE_ROWS
 
-    row = pl.BlockSpec((TILE_ROWS, D), lambda i, e: (i, 0))
-    w1_spec = pl.BlockSpec((1, D, H), lambda i, e: (e[i], 0, 0))
-    b1_spec = pl.BlockSpec((1, 1, H), lambda i, e: (e[i], 0, 0))
-    w2_spec = pl.BlockSpec((1, H, D), lambda i, e: (e[i], 0, 0))
+    row_d = pl.BlockSpec((TILE_ROWS, D), lambda i, e: (i, 0))
+    row_h = pl.BlockSpec((TILE_ROWS, H), lambda i, e: (i, 0))
 
     dw1, db1 = pl.pallas_call(
         _wgrad1_kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(n_tiles,),
-            in_specs=[row, row, w1_spec, b1_spec, w2_spec],
+            in_specs=[row_d, row_h],
             out_specs=[
                 pl.BlockSpec((1, D, H), lambda i, e: (e[i], 0, 0)),
                 pl.BlockSpec((1, 1, H), lambda i, e: (e[i], 0, 0)),
@@ -220,14 +225,14 @@ def _wgrad(dy, xs, w1, b1, w2, e_of_tile):
             jax.ShapeDtypeStruct((E, 1, H), jnp.float32),
         ],
         interpret=_interpret(),
-    )(e_of_tile, dy, xs, w1, b1[:, None], w2)
+    )(e_of_tile, xs, dh)
 
     dw2, db2 = pl.pallas_call(
         _wgrad2_kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(n_tiles,),
-            in_specs=[row, row, w1_spec, b1_spec],
+            in_specs=[row_h, row_d],
             out_specs=[
                 pl.BlockSpec((1, H, D), lambda i, e: (e[i], 0, 0)),
                 pl.BlockSpec((1, 1, D), lambda i, e: (e[i], 0, 0)),
@@ -238,7 +243,7 @@ def _wgrad(dy, xs, w1, b1, w2, e_of_tile):
             jax.ShapeDtypeStruct((E, 1, D), jnp.float32),
         ],
         interpret=_interpret(),
-    )(e_of_tile, dy, xs, w1, b1[:, None])
+    )(e_of_tile, g, dy)
     return dw1, db1[:, 0], dw2, db2[:, 0]
 
 
@@ -269,8 +274,8 @@ def _ffn_fwd(xs, w1, b1, w2, b2, e_of_tile):
 def _ffn_bwd(res, dy):
     xs, w1, b1, w2, e_of_tile = res
     dy = dy.astype(xs.dtype)
-    dx = _dgrad(dy, xs, w1, b1, w2, e_of_tile)
-    dw1, db1, dw2, db2 = _wgrad(dy, xs, w1, b1, w2, e_of_tile)
+    dx, dh, g = _dgrad(dy, xs, w1, b1, w2, e_of_tile)
+    dw1, db1, dw2, db2 = _wgrad(dy, xs, dh, g, e_of_tile, w1.shape[0])
     de = np.zeros(e_of_tile.shape, dtype=jax.dtypes.float0)
     return (dx, dw1.astype(w1.dtype), db1.astype(b1.dtype),
             dw2.astype(w2.dtype), db2.astype(b1.dtype), de)

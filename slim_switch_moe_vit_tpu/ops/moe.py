@@ -271,19 +271,20 @@ def aligned_expert_layout(expert_idx: jnp.ndarray, num_experts: int,
     n_tiles = Tp // tile
 
     flat = expert_idx.reshape(-1)
-    sort_idx = jnp.argsort(flat, stable=True)
-    e_sorted = flat[sort_idx]
-    group_sizes = jnp.sum(jax.nn.one_hot(flat, E, dtype=jnp.int32), axis=0)
-    starts = jnp.cumsum(group_sizes) - group_sizes
+    # counting-sort ranking instead of argsort (the sort was ~1 ms/block):
+    # rank = how many earlier pairs chose the same expert. Token-major order
+    # gives FastMoE's token-priority semantics, same as a stable sort.
+    onehot = jax.nn.one_hot(flat, E, dtype=jnp.int32)
+    group_sizes = jnp.sum(onehot, axis=0)
+    rank = jnp.take_along_axis(jnp.cumsum(onehot, axis=0) - onehot,
+                               flat[:, None], axis=1)[:, 0]
     padded_sizes = ((group_sizes + tile - 1) // tile) * tile
     padded_starts = jnp.cumsum(padded_sizes) - padded_sizes
 
-    pos = jnp.arange(TK, dtype=jnp.int32)
-    slot_sorted = pos - starts[e_sorted] + padded_starts[e_sorted]
-    # pair -> slot via a small s32 scatter (cheaper than a second argsort)
-    pair_slot = jnp.zeros((TK,), jnp.int32).at[sort_idx].set(slot_sorted)
-    gather_idx = jnp.zeros((Tp,), jnp.int32).at[slot_sorted].set(
-        sort_idx // k)
+    slot_pair = padded_starts[flat] + rank               # (TK,)
+    pair_slot = slot_pair
+    gather_idx = jnp.zeros((Tp,), jnp.int32).at[slot_pair].set(
+        jnp.arange(TK, dtype=jnp.int32) // k)
 
     tile_starts = jnp.arange(n_tiles, dtype=jnp.int32) * tile
     e_of_tile = jnp.clip(

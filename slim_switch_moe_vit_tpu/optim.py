@@ -158,6 +158,12 @@ def make_optimizer(params, *, weight_decay: float = 0.05,
 
     Returns (init_fn, update_fn) where update_fn(grads, state, params,
     lr_base, lr_gate) -> (updates, new_state); updates already include sign.
+
+    When neither grad clipping nor a trainable mask is requested, update_fn
+    also carries a ``fused_apply`` attribute — a single-pass Pallas
+    AdamW(+EMA) update (see ``ops/fused_adamw.py``) with identical math that
+    the train step prefers; the optax state layout is unchanged, so
+    checkpoints are interchangeable between the two paths.
     """
     chain = []
     if clip_grad is not None and clip_grad > 0:
@@ -182,5 +188,26 @@ def make_optimizer(params, *, weight_decay: float = 0.05,
             updates = jax.tree.map(
                 lambda u, t: jnp.where(t, u, 0.0), updates, tmask)
         return updates, state
+
+    if (clip_grad is None or clip_grad <= 0) and trainable_mask is None:
+        from .ops.fused_adamw import fused_adamw_ema
+
+        wdm = wd_mask(params)
+        adam_index = 0  # position of ScaleByAdamState in the chain state
+
+        def fused_apply(params, grads, opt_state, ema, lr_base, lr_gate,
+                        ema_decay):
+            adam = opt_state[adam_index]
+            new_p, mu, nu, new_ema, t = fused_adamw_ema(
+                params, grads, adam.mu, adam.nu, ema, adam.count,
+                lr_base, lr_gate, wdm, gmask,
+                b1=betas[0], b2=betas[1], eps=eps,
+                weight_decay=weight_decay, ema_decay=ema_decay)
+            new_adam = adam._replace(count=t, mu=mu, nu=nu)
+            new_state = (opt_state[:adam_index] + (new_adam,)
+                         + opt_state[adam_index + 1:])
+            return new_p, new_state, new_ema
+
+        update.fused_apply = fused_apply
 
     return tx.init, update

@@ -51,7 +51,10 @@ def summarize_trace(log_dir: str, top: int = 20,
             continue
         ln = e.get("args", {}).get("long_name", "")
         m = re.match(r"%\S+ = \(?([a-z0-9]+\[[^\]]*\])", ln)
-        label = m.group(1) if m else name
+        shape = m.group(1) if m else ""
+        # strip the uniquifying suffix digits so fusions group by kind+shape
+        kind = re.sub(r"[.\d]+$", "", name)
+        label = f"{kind:24s} {shape}" if shape else kind
         tot[label] += e.get("dur", 0)
         cnt[label] += 1
     rows = sorted(((d / steps / 1e3, cnt[k], k) for k, d in tot.items()),
