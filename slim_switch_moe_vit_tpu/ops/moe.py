@@ -33,10 +33,16 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 
 def naive_topk_gate(logits: jnp.ndarray, top_k: int):
     """FastMoE NaiveGate: select top-k experts, softmax over the k scores.
+
+    Small k is selected by repeated argmax instead of ``lax.top_k`` — top_k
+    lowers to a sort on TPU (~4 ms/step at 12 blocks); k rounds of
+    max/argmax/mask are pure VPU reductions with identical tie-breaking
+    (first index wins).
 
     Args:
         logits: (T, E) router scores.
@@ -45,7 +51,20 @@ def naive_topk_gate(logits: jnp.ndarray, top_k: int):
         gate_weights: (T, k) fp32 combine weights (softmax over selected scores).
         expert_idx:   (T, k) int32 selected expert ids.
     """
-    vals, idx = jax.lax.top_k(logits.astype(jnp.float32), top_k)
+    lg = logits.astype(jnp.float32)
+    if top_k <= 4:
+        vals, idxs = [], []
+        cur = lg
+        for _ in range(top_k):
+            i = jnp.argmax(cur, axis=-1)
+            vals.append(jnp.max(cur, axis=-1))
+            idxs.append(i.astype(jnp.int32))
+            cur = jnp.where(jax.nn.one_hot(i, lg.shape[-1], dtype=jnp.bool_),
+                            -jnp.inf, cur)
+        vals = jnp.stack(vals, axis=-1)
+        idx = jnp.stack(idxs, axis=-1)
+    else:
+        vals, idx = jax.lax.top_k(lg, top_k)
     weights = jax.nn.softmax(vals, axis=-1)
     return weights, idx.astype(jnp.int32)
 
@@ -293,6 +312,46 @@ def aligned_expert_layout(expert_idx: jnp.ndarray, num_experts: int,
     return gather_idx, pair_slot.reshape(T, k), e_of_tile
 
 
+@jax.custom_vjp
+def _combine_slots(out, pair_slot, gate_w, gather_idx):
+    """y[t] = sum_k gate_w[t,k] * out[pair_slot[t,k]].
+
+    Custom VJP: the automatic backward of the per-choice gathers is k
+    scatter-adds into the (Tp, d) buffer (~0.7 ms each). Because slots are
+    unique and gather_idx inverts them, d_out is instead ONE row gather:
+    d_out[s] = dy[gather_idx[s]] * w_slot[s], with w_slot 0 at padding.
+    """
+    y = None
+    for kk in range(pair_slot.shape[1]):
+        yk = jnp.take(out, pair_slot[:, kk], axis=0)
+        yk = yk * gate_w[:, kk:kk + 1].astype(yk.dtype)
+        y = yk if y is None else y + yk
+    return y
+
+
+def _combine_slots_fwd(out, pair_slot, gate_w, gather_idx):
+    T, k = pair_slot.shape
+    yks = jnp.stack([jnp.take(out, pair_slot[:, kk], axis=0)
+                     for kk in range(k)], axis=1)  # (T, k, d)
+    y = jnp.einsum("tkd,tk->td", yks, gate_w.astype(yks.dtype))
+    return y.astype(out.dtype), (yks, pair_slot, gate_w, gather_idx,
+                                 out.shape[0])
+
+
+def _combine_slots_bwd(res, dy):
+    yks, pair_slot, gate_w, gather_idx, Tp = res
+    dy = dy.astype(yks.dtype)
+    d_gate = jnp.einsum("tkd,td->tk", yks, dy).astype(gate_w.dtype)
+    w_slot = jnp.zeros((Tp,), gate_w.dtype).at[pair_slot.reshape(-1)].set(
+        gate_w.reshape(-1))
+    d_out = jnp.take(dy, gather_idx, axis=0) * w_slot[:, None].astype(dy.dtype)
+    f0 = lambda a: np.zeros(a.shape, dtype=jax.dtypes.float0)
+    return d_out, f0(pair_slot), d_gate, f0(gather_idx)
+
+
+_combine_slots.defvjp(_combine_slots_fwd, _combine_slots_bwd)
+
+
 def moe_forward_fused(x: jnp.ndarray, router_w, router_b, w1, b1, w2, b2, *,
                       top_k: int = 2):
     """Dropless MoE with the fused Pallas expert-FFN kernel.
@@ -315,11 +374,7 @@ def moe_forward_fused(x: jnp.ndarray, router_w, router_b, w1, b1, w2, b2, *,
     out = fused_expert_ffn(xs, w1.astype(x.dtype), b1.astype(jnp.float32),
                            w2.astype(x.dtype), b2.astype(jnp.float32),
                            e_of_tile)
-
-    y = jnp.zeros((T, d), out.dtype)
-    for kk in range(top_k):
-        yk = jnp.take(out, pair_slot[:, kk], axis=0)
-        y = y + yk * gate_w[:, kk:kk + 1].astype(yk.dtype)
+    y = _combine_slots(out, pair_slot, gate_w, gather_idx)
     aux = {
         "balance_loss": load_balance_loss(logits, expert_idx, E),
         "drop_fraction": jnp.asarray(0.0, jnp.float32),
