@@ -9,8 +9,8 @@ reads+writes 310 MB, fc2 reads 155 MB. Fusing the chain keeps the hidden
 tile in VMEM, cutting per-block traffic from ~470 MB to ~80 MB.
 
 Layout contract: tokens are pre-sorted by expert and each expert's group
-starts at a 128-row-aligned offset (see ``ops.moe.aligned_expert_layout``),
-so every 128-row tile belongs to exactly ONE expert — no masking inside the
+starts at a TILE_ROWS-aligned offset (see ``ops.moe.aligned_expert_layout``),
+so every row tile belongs to exactly ONE expert — no masking inside the
 kernel, and the per-expert weights are DMA'd once per expert (consecutive
 tiles share the same weight block, which Pallas detects via the index map).
 Padding rows carry zero cotangents by construction (they are never gathered
@@ -36,7 +36,9 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-TILE_ROWS = 128
+TILE_ROWS = 256    # layout alignment + fwd/wgrad row tile
+DGRAD_TILE = 128   # dgrad carries two (rows, H) spill blocks -> smaller tile
+                   # (256 rows puts it 76 KB over the 16 MiB VMEM budget)
 
 _SQRT_2_OVER_PI = 0.7978845608028654
 
@@ -132,21 +134,25 @@ def _dgrad_kernel(e_ref, dy_ref, x_ref, w1_ref, b1_ref, w2_ref,
 def _dgrad(dy, xs, w1, b1, w2, e_of_tile):
     Tp, D = xs.shape
     E, _, H = w1.shape
-    n_tiles = Tp // TILE_ROWS
+    # finer tile than the layout alignment: each DGRAD_TILE chunk still has a
+    # single owning expert because groups are TILE_ROWS(>=DGRAD_TILE)-aligned
+    reps = TILE_ROWS // DGRAD_TILE
+    e_fine = jnp.repeat(e_of_tile, reps) if reps > 1 else e_of_tile
+    n_tiles = Tp // DGRAD_TILE
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(n_tiles,),
         in_specs=[
-            pl.BlockSpec((TILE_ROWS, D), lambda i, e: (i, 0)),
-            pl.BlockSpec((TILE_ROWS, D), lambda i, e: (i, 0)),
+            pl.BlockSpec((DGRAD_TILE, D), lambda i, e: (i, 0)),
+            pl.BlockSpec((DGRAD_TILE, D), lambda i, e: (i, 0)),
             pl.BlockSpec((1, D, H), lambda i, e: (e[i], 0, 0)),
             pl.BlockSpec((1, 1, H), lambda i, e: (e[i], 0, 0)),
             pl.BlockSpec((1, H, D), lambda i, e: (e[i], 0, 0)),
         ],
         out_specs=[
-            pl.BlockSpec((TILE_ROWS, D), lambda i, e: (i, 0)),
-            pl.BlockSpec((TILE_ROWS, H), lambda i, e: (i, 0)),
-            pl.BlockSpec((TILE_ROWS, H), lambda i, e: (i, 0)),
+            pl.BlockSpec((DGRAD_TILE, D), lambda i, e: (i, 0)),
+            pl.BlockSpec((DGRAD_TILE, H), lambda i, e: (i, 0)),
+            pl.BlockSpec((DGRAD_TILE, H), lambda i, e: (i, 0)),
         ],
     )
     return pl.pallas_call(
@@ -158,7 +164,7 @@ def _dgrad(dy, xs, w1, b1, w2, e_of_tile):
             jax.ShapeDtypeStruct((Tp, H), xs.dtype),
         ],
         interpret=_interpret(),
-    )(e_of_tile, dy, xs, w1, b1[:, None], w2)
+    )(e_fine, dy, xs, w1, b1[:, None], w2)
 
 
 # ---------------------------------------------------------------------------

@@ -268,7 +268,7 @@ def moe_forward_ragged(x: jnp.ndarray, router_w, router_b, w1, b1, w2, b2, *,
 
 
 def aligned_expert_layout(expert_idx: jnp.ndarray, num_experts: int,
-                          tile: int = 128):
+                          tile: int = None):
     """Sort (token, choice) pairs by expert with TILE-aligned group starts.
 
     The fused Pallas FFN (``ops.fused_ffn``) requires every ``tile``-row block
@@ -283,6 +283,8 @@ def aligned_expert_layout(expert_idx: jnp.ndarray, num_experts: int,
         pair_slot: (T, k) int32 — padded slot of each (token, choice) pair.
         e_of_tile: (Tp // tile,) int32 — owning expert of each row tile.
     """
+    if tile is None:
+        from .fused_ffn import TILE_ROWS as tile
     T, k = expert_idx.shape
     TK = T * k
     E = num_experts

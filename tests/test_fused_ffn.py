@@ -22,6 +22,8 @@ def test_aligned_layout_roundtrip():
     rs = np.random.RandomState(0)
     T, k, E = 37, 2, 4
     eidx = jnp.asarray(rs.randint(0, E, (T, k)), jnp.int32)
+    from slim_switch_moe_vit_tpu.ops.fused_ffn import TILE_ROWS
+
     gather_idx, pair_slot, e_of_tile = moe_ops.aligned_expert_layout(eidx, E)
     gi, ps, et = map(np.asarray, (gather_idx, pair_slot, e_of_tile))
     # each pair's slot holds its own token, in a tile owned by its expert
@@ -29,7 +31,7 @@ def test_aligned_layout_roundtrip():
         for kk in range(k):
             s = ps[t, kk]
             assert gi[s] == t
-            assert et[s // 128] == eidx[t, kk]
+            assert et[s // TILE_ROWS] == eidx[t, kk]
     # slots are unique
     assert len(set(ps.ravel().tolist())) == T * k
 
