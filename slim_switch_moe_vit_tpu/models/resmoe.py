@@ -49,6 +49,7 @@ class ResMoEBlock(nn.Module):
     drop_path: float = 0.0
     dtype: Dtype = jnp.float32
     use_flash: bool = False
+    attn_impl: str = "auto"
     # MoE config
     num_experts: int = 8
     top_k: int = 2
@@ -73,7 +74,8 @@ class ResMoEBlock(nn.Module):
         self.attn = Attention(
             num_heads=self.num_heads, qkv_bias=self.qkv_bias,
             attn_drop=self.attn_drop, proj_drop=self.drop,
-            dtype=self.dtype, use_flash=self.use_flash, name="attn",
+            dtype=self.dtype, use_flash=self.use_flash,
+            attn_impl=self.attn_impl, name="attn",
         )
         self.norm2 = LayerNorm(name="norm2")
         self.mlp = MoEMlp(

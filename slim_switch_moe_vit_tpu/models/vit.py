@@ -42,6 +42,21 @@ class Attention(nn.Module):
     proj_drop: float = 0.0
     dtype: Dtype = jnp.float32
     use_flash: bool = False
+    # 'auto': fused Pallas MHA kernel on TPU (packed-qkv, fused backward, no
+    # layout transposes — see ops/attention.py), XLA einsum elsewhere.
+    # 'xla' / 'fused' force a path (fused runs interpreted off-TPU: tests).
+    attn_impl: str = "auto"
+
+    def _fused_ok(self, N: int, deterministic: bool) -> bool:
+        if self.attn_impl == "xla" or self.use_flash:
+            return False
+        if self.attn_drop > 0.0 and not deterministic:
+            return False  # fused kernel has no attention-dropout path
+        if N > 1024:
+            return False
+        if self.attn_impl == "fused":
+            return True
+        return jax.default_backend() == "tpu"
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
@@ -51,26 +66,35 @@ class Attention(nn.Module):
         scale = d ** -0.5
 
         qkv = Dense(3 * C, use_bias=self.qkv_bias, dtype=self.dtype, name="qkv")(x)
-        # contiguous last-axis split (a middle-axis reshape+index here costs
-        # ~2.6ms/step of pure layout copies at ViT-tiny/b128 — profiled)
-        q, k, v = jnp.split(qkv, 3, axis=-1)
-        q = q.reshape(B, N, H, d)
-        k = k.reshape(B, N, H, d)
-        v = v.reshape(B, N, H, d)
 
-        if self.use_flash and deterministic:
-            from ..ops.attention import flash_attention
+        if self._fused_ok(N, deterministic):
+            from ..ops.attention import fused_mha
 
-            out = flash_attention(q, k, v, scale=scale)  # (B, N, H, d)
+            out = fused_mha(qkv, H, scale,
+                            jax.default_backend() != "tpu")  # (B, N, C)
         else:
-            attn = jnp.einsum("bqhd,bkhd->bhqk", q, k,
-                              preferred_element_type=jnp.float32) * scale
-            attn = jax.nn.softmax(attn, axis=-1)
-            attn = nn.Dropout(self.attn_drop)(attn, deterministic=deterministic)
-            out = jnp.einsum("bhqk,bkhd->bqhd", attn.astype(v.dtype), v,
-                             preferred_element_type=jnp.float32)
+            # contiguous last-axis split (a middle-axis reshape+index here
+            # costs ~2.6ms/step of pure layout copies at ViT-tiny/b128)
+            q, k, v = jnp.split(qkv, 3, axis=-1)
+            q = q.reshape(B, N, H, d)
+            k = k.reshape(B, N, H, d)
+            v = v.reshape(B, N, H, d)
 
-        out = out.reshape(B, N, C).astype(self.dtype)
+            if self.use_flash and deterministic:
+                from ..ops.attention import flash_attention
+
+                out = flash_attention(q, k, v, scale=scale)  # (B, N, H, d)
+            else:
+                attn = jnp.einsum("bqhd,bkhd->bhqk", q, k,
+                                  preferred_element_type=jnp.float32) * scale
+                attn = jax.nn.softmax(attn, axis=-1)
+                attn = nn.Dropout(self.attn_drop)(attn,
+                                                  deterministic=deterministic)
+                out = jnp.einsum("bhqk,bkhd->bqhd", attn.astype(v.dtype), v,
+                                 preferred_element_type=jnp.float32)
+            out = out.reshape(B, N, C)
+
+        out = out.astype(self.dtype)
         out = Dense(C, dtype=self.dtype, name="proj")(out)
         out = nn.Dropout(self.proj_drop)(out, deterministic=deterministic)
         return out
@@ -92,6 +116,7 @@ class Block(nn.Module):
     drop_path: float = 0.0
     dtype: Dtype = jnp.float32
     use_flash: bool = False
+    attn_impl: str = "auto"
     mlp_factory: typ.Callable = default_mlp_factory
 
     def setup(self):
@@ -103,6 +128,7 @@ class Block(nn.Module):
             proj_drop=self.drop,
             dtype=self.dtype,
             use_flash=self.use_flash,
+            attn_impl=self.attn_impl,
             name="attn",
         )
         self.norm2 = LayerNorm(name="norm2")
@@ -138,6 +164,7 @@ class VisionTransformer(nn.Module):
     drop_path_rate: float = 0.0
     dtype: Dtype = jnp.float32
     use_flash: bool = False
+    attn_impl: str = "auto"
     # Factory: (layer_idx, dim, mlp_ratio, drop, dtype) -> nn.Module, or None for dense.
     block_mlp_factory: typ.Optional[typ.Callable] = None
     # Full block replacement: (layer_idx, **block_kwargs) -> nn.Module. Used by the
@@ -192,6 +219,7 @@ class VisionTransformer(nn.Module):
                 drop_path=dpr[i],
                 dtype=self.dtype,
                 use_flash=self.use_flash,
+                attn_impl=self.attn_impl,
                 name=f"blocks_{i}",
             )
             if self.block_factory is not None:

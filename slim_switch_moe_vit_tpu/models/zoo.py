@@ -42,6 +42,8 @@ def _common_kwargs(kwargs):
         out["dtype"] = kwargs["dtype"]
     if "use_flash" in kwargs:
         out["use_flash"] = kwargs["use_flash"]
+    if "attn_impl" in kwargs:
+        out["attn_impl"] = kwargs["attn_impl"]
     return out
 
 

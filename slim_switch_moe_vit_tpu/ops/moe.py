@@ -267,6 +267,33 @@ def moe_forward_ragged(x: jnp.ndarray, router_w, router_b, w1, b1, w2, b2, *,
     return y.astype(x.dtype), aux
 
 
+def _rank_in_expert(flat_e: jnp.ndarray, num_experts: int, chunk: int = 256):
+    """Per-pair position within its expert group + total group sizes.
+
+    Computes the exclusive prefix count hierarchically: a flat
+    ``cumsum((T*k, E))`` is a 50k-long sequential scan (XLA lowers it as
+    log-N full passes, ~0.4 ms/block at ViT-S/b128); chunking into
+    ``chunk``-row blocks makes the inner scan 256 long and parallel across
+    chunks, with only a tiny (n_chunks, E) scan on top.
+
+    Returns:
+        rank: (T*k,) int32 — #earlier pairs choosing the same expert.
+        group_sizes: (E,) int32.
+    """
+    TK = flat_e.shape[0]
+    E = num_experts
+    pad = (-TK) % chunk
+    fe = jnp.pad(flat_e, (0, pad), constant_values=E)  # pad rows count nowhere
+    onehot = jax.nn.one_hot(fe, E, dtype=jnp.int32)    # (TKp, E); pad rows all-0
+    oh = onehot.reshape(-1, chunk, E)
+    within = jnp.cumsum(oh, axis=1)                    # parallel across chunks
+    chunk_tot = within[:, -1, :]                       # (n_chunks, E)
+    chunk_off = jnp.cumsum(chunk_tot, axis=0) - chunk_tot
+    pos = (chunk_off[:, None, :] + within - oh).reshape(-1, E)[:TK]
+    rank = jnp.take_along_axis(pos, flat_e[:, None], axis=1)[:, 0]
+    return rank, jnp.sum(chunk_tot, axis=0)
+
+
 def aligned_expert_layout(expert_idx: jnp.ndarray, num_experts: int,
                           tile: int = None):
     """Sort (token, choice) pairs by expert with TILE-aligned group starts.
@@ -282,6 +309,8 @@ def aligned_expert_layout(expert_idx: jnp.ndarray, num_experts: int,
             cotangents are zero, so the value is irrelevant).
         pair_slot: (T, k) int32 — padded slot of each (token, choice) pair.
         e_of_tile: (Tp // tile,) int32 — owning expert of each row tile.
+        slot_of: (Tp,) int32 — flat (token*k + choice) pair of each slot,
+            -1 at padding slots.
     """
     if tile is None:
         from .fused_ffn import TILE_ROWS as tile
@@ -295,33 +324,72 @@ def aligned_expert_layout(expert_idx: jnp.ndarray, num_experts: int,
     # counting-sort ranking instead of argsort (the sort was ~1 ms/block):
     # rank = how many earlier pairs chose the same expert. Token-major order
     # gives FastMoE's token-priority semantics, same as a stable sort.
-    onehot = jax.nn.one_hot(flat, E, dtype=jnp.int32)
-    group_sizes = jnp.sum(onehot, axis=0)
-    rank = jnp.take_along_axis(jnp.cumsum(onehot, axis=0) - onehot,
-                               flat[:, None], axis=1)[:, 0]
+    rank, group_sizes = _rank_in_expert(flat, E)
     padded_sizes = ((group_sizes + tile - 1) // tile) * tile
     padded_starts = jnp.cumsum(padded_sizes) - padded_sizes
 
     slot_pair = padded_starts[flat] + rank               # (TK,)
     pair_slot = slot_pair
-    gather_idx = jnp.zeros((Tp,), jnp.int32).at[slot_pair].set(
-        jnp.arange(TK, dtype=jnp.int32) // k)
+    # ONE scatter builds the full slot table: the flat pair index of each
+    # slot (slot_pair values are unique, so "set" is exact); -1 marks padding
+    # slots. gather_idx and the combine weight per slot both derive from it
+    # by cheap gathers instead of further scatters.
+    slot_of = jnp.full((Tp,), -1, jnp.int32).at[slot_pair].set(
+        jnp.arange(TK, dtype=jnp.int32))
+    gather_idx = jnp.maximum(slot_of, 0) // k
 
     tile_starts = jnp.arange(n_tiles, dtype=jnp.int32) * tile
     e_of_tile = jnp.clip(
         jnp.searchsorted(padded_starts, tile_starts, side="right") - 1,
         0, E - 1).astype(jnp.int32)
-    return gather_idx, pair_slot.reshape(T, k), e_of_tile
+    return gather_idx, pair_slot.reshape(T, k), e_of_tile, slot_of
+
+
+def _f0(a):
+    return np.zeros(a.shape, dtype=jax.dtypes.float0)
 
 
 @jax.custom_vjp
-def _combine_slots(out, pair_slot, gate_w, gather_idx):
+def _dispatch_gather(x, gather_idx, pair_slot):
+    """xs[s] = x[gather_idx[s]] — expand tokens into the padded expert layout.
+
+    Custom VJP: the automatic backward of this gather is a 50k-row scatter-add
+    into (T, d), which serializes on TPU. Each token owns exactly the k slots
+    ``pair_slot[t, :]`` and every other (padding) slot carries a zero cotangent
+    through the FFN (its combine weight is zero), so the exact gradient is k
+    row GATHERS instead: dx[t] = sum_k dxs[pair_slot[t, k]].
+    """
+    return jnp.take(x, gather_idx, axis=0)
+
+
+def _dispatch_gather_fwd(x, gather_idx, pair_slot):
+    return jnp.take(x, gather_idx, axis=0), (gather_idx, pair_slot)
+
+
+def _dispatch_gather_bwd(res, dxs):
+    gather_idx, pair_slot = res
+    dx = None
+    for kk in range(pair_slot.shape[1]):
+        g = jnp.take(dxs, pair_slot[:, kk], axis=0)
+        dx = g if dx is None else dx + g
+    return dx, _f0(gather_idx), _f0(pair_slot)
+
+
+_dispatch_gather.defvjp(_dispatch_gather_fwd, _dispatch_gather_bwd)
+
+
+@jax.custom_vjp
+def _combine_slots(out, pair_slot, gate_w, gather_idx, slot_of):
     """y[t] = sum_k gate_w[t,k] * out[pair_slot[t,k]].
 
     Custom VJP: the automatic backward of the per-choice gathers is k
     scatter-adds into the (Tp, d) buffer (~0.7 ms each). Because slots are
     unique and gather_idx inverts them, d_out is instead ONE row gather:
-    d_out[s] = dy[gather_idx[s]] * w_slot[s], with w_slot 0 at padding.
+    d_out[s] = dy[gather_idx[s]] * w_slot[s]. The per-slot gate weight is a
+    gather through slot_of (0 at padding slots, where slot_of is -1) — no
+    scatter anywhere in the backward. ``out`` itself is the residual (already
+    materialized), so the forward saves nothing extra; d_gate re-gathers out
+    rows in backward.
     """
     y = None
     for kk in range(pair_slot.shape[1]):
@@ -331,24 +399,24 @@ def _combine_slots(out, pair_slot, gate_w, gather_idx):
     return y
 
 
-def _combine_slots_fwd(out, pair_slot, gate_w, gather_idx):
-    T, k = pair_slot.shape
-    yks = jnp.stack([jnp.take(out, pair_slot[:, kk], axis=0)
-                     for kk in range(k)], axis=1)  # (T, k, d)
-    y = jnp.einsum("tkd,tk->td", yks, gate_w.astype(yks.dtype))
-    return y.astype(out.dtype), (yks, pair_slot, gate_w, gather_idx,
-                                 out.shape[0])
+def _combine_slots_fwd(out, pair_slot, gate_w, gather_idx, slot_of):
+    return (_combine_slots(out, pair_slot, gate_w, gather_idx, slot_of),
+            (out, pair_slot, gate_w, gather_idx, slot_of))
 
 
 def _combine_slots_bwd(res, dy):
-    yks, pair_slot, gate_w, gather_idx, Tp = res
-    dy = dy.astype(yks.dtype)
-    d_gate = jnp.einsum("tkd,td->tk", yks, dy).astype(gate_w.dtype)
-    w_slot = jnp.zeros((Tp,), gate_w.dtype).at[pair_slot.reshape(-1)].set(
-        gate_w.reshape(-1))
+    out, pair_slot, gate_w, gather_idx, slot_of = res
+    k = pair_slot.shape[1]
+    dyc = dy.astype(out.dtype)
+    d_gate = jnp.stack(
+        [jnp.sum(jnp.take(out, pair_slot[:, kk], axis=0) * dyc, axis=-1)
+         for kk in range(k)], axis=1).astype(gate_w.dtype)
+    w_slot = jnp.where(slot_of >= 0,
+                       jnp.take(gate_w.reshape(-1), jnp.maximum(slot_of, 0)),
+                       0.0)
     d_out = jnp.take(dy, gather_idx, axis=0) * w_slot[:, None].astype(dy.dtype)
-    f0 = lambda a: np.zeros(a.shape, dtype=jax.dtypes.float0)
-    return d_out, f0(pair_slot), d_gate, f0(gather_idx)
+    return (d_out.astype(out.dtype), _f0(pair_slot), d_gate, _f0(gather_idx),
+            _f0(slot_of))
 
 
 _combine_slots.defvjp(_combine_slots_fwd, _combine_slots_bwd)
@@ -371,12 +439,13 @@ def moe_forward_fused(x: jnp.ndarray, router_w, router_b, w1, b1, w2, b2, *,
     logits = jnp.dot(x.astype(jnp.float32), router_w.astype(jnp.float32)) + router_b
     gate_w, expert_idx = naive_topk_gate(logits, top_k)
 
-    gather_idx, pair_slot, e_of_tile = aligned_expert_layout(expert_idx, E)
-    xs = jnp.take(x, gather_idx, axis=0)
+    gather_idx, pair_slot, e_of_tile, slot_of = aligned_expert_layout(
+        expert_idx, E)
+    xs = _dispatch_gather(x, gather_idx, pair_slot)
     out = fused_expert_ffn(xs, w1.astype(x.dtype), b1.astype(jnp.float32),
                            w2.astype(x.dtype), b2.astype(jnp.float32),
                            e_of_tile)
-    y = _combine_slots(out, pair_slot, gate_w, gather_idx)
+    y = _combine_slots(out, pair_slot, gate_w, gather_idx, slot_of)
     aux = {
         "balance_loss": load_balance_loss(logits, expert_idx, E),
         "drop_fraction": jnp.asarray(0.0, jnp.float32),

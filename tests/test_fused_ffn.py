@@ -24,16 +24,20 @@ def test_aligned_layout_roundtrip():
     eidx = jnp.asarray(rs.randint(0, E, (T, k)), jnp.int32)
     from slim_switch_moe_vit_tpu.ops.fused_ffn import TILE_ROWS
 
-    gather_idx, pair_slot, e_of_tile = moe_ops.aligned_expert_layout(eidx, E)
-    gi, ps, et = map(np.asarray, (gather_idx, pair_slot, e_of_tile))
+    gather_idx, pair_slot, e_of_tile, slot_of = moe_ops.aligned_expert_layout(
+        eidx, E)
+    gi, ps, et, so = map(np.asarray, (gather_idx, pair_slot, e_of_tile,
+                                      slot_of))
     # each pair's slot holds its own token, in a tile owned by its expert
     for t in range(T):
         for kk in range(k):
             s = ps[t, kk]
             assert gi[s] == t
+            assert so[s] == t * k + kk
             assert et[s // TILE_ROWS] == eidx[t, kk]
-    # slots are unique
+    # slots are unique; every non-pair slot is marked padding
     assert len(set(ps.ravel().tolist())) == T * k
+    assert (so >= 0).sum() == T * k
 
 
 def test_fused_matches_dense_oracle_fwd_and_grad():

@@ -1,0 +1,62 @@
+"""Fused packed-qkv MHA kernel vs the unfused XLA oracle.
+
+The kernel (ops/attention.py::fused_mha) replaces the reference's
+torch/cuDNN attention path (/root/reference/models/vision_transformer.py:260-280)
+on the training hot path. These tests run it in interpret mode on CPU and
+check forward values and gradients against the einsum oracle, including the
+non-128-aligned N=197 ViT shape whose block overhang exercises the in-kernel
+row/column masking.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from slim_switch_moe_vit_tpu.ops.attention import fused_mha, fused_mha_reference
+
+
+@pytest.mark.parametrize("N", [197, 128, 64])
+def test_fused_mha_matches_oracle_fwd(N):
+    B, H, d = 3, 6, 64
+    C = H * d
+    qkv = jnp.asarray(np.random.RandomState(0).randn(B, N, 3 * C), jnp.float32)
+    got = fused_mha(qkv, H, d ** -0.5, True)
+    want = fused_mha_reference(qkv, H, d ** -0.5)
+    assert got.shape == want.shape
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_fused_mha_grad_matches_oracle():
+    B, N, H, d = 2, 197, 3, 32
+    C = H * d
+    rng = np.random.RandomState(1)
+    qkv = jnp.asarray(rng.randn(B, N, 3 * C), jnp.float32)
+    w = jnp.asarray(rng.randn(C), jnp.float32)
+
+    def loss_fused(qkv):
+        return jnp.sum(fused_mha(qkv, H, d ** -0.5, True) * w)
+
+    def loss_ref(qkv):
+        return jnp.sum(fused_mha_reference(qkv, H, d ** -0.5) * w)
+
+    lf, gf = jax.value_and_grad(loss_fused)(qkv)
+    lr, gr = jax.value_and_grad(loss_ref)(qkv)
+    np.testing.assert_allclose(float(lf), float(lr), rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(gf), np.asarray(gr),
+                               rtol=2e-3, atol=2e-3)
+
+
+def test_attention_module_fused_equals_xla():
+    """The Attention module produces identical results on both impls."""
+    from slim_switch_moe_vit_tpu.models.vit import Attention
+
+    B, N, C, H = 2, 197, 192, 3
+    x = jnp.asarray(np.random.RandomState(2).randn(B, N, C), jnp.float32)
+    m_xla = Attention(num_heads=H, attn_impl="xla")
+    m_fused = Attention(num_heads=H, attn_impl="fused")
+    params = m_xla.init(jax.random.PRNGKey(0), x, deterministic=True)
+    y_xla = m_xla.apply(params, x, deterministic=True)
+    y_fused = m_fused.apply(params, x, deterministic=True)
+    np.testing.assert_allclose(np.asarray(y_fused), np.asarray(y_xla),
+                               rtol=2e-4, atol=2e-4)
