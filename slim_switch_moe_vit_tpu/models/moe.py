@@ -83,8 +83,8 @@ class MoEMlp(nn.Module):
             import jax
 
             mode = "fused" if jax.default_backend() == "tpu" else "ragged"
-        if mode == "fused" and (dropout_rng is not None):
-            mode = "ragged"  # fused kernel has no dropout path
+        if mode == "fused" and (dropout_rng is not None or h % 2 != 0):
+            mode = "ragged"  # fused kernel: no dropout path; even hidden only
 
         if mode == "fused":
             y, aux = moe_ops.moe_forward_fused(

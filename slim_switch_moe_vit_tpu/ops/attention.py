@@ -157,22 +157,26 @@ def flash_attention_reference(q, k, v, scale: float = 1.0):
 # softmax. The backward recomputes the softmax from qkv (cheaper than an HBM
 # round-trip of p) and produces d(qkv) directly in packed layout.
 
-_MHA_BLOCK_N = 256  # max supported sequence 1024 (VMEM: s is (N_blk, N_blk) f32)
-
-
 def _round_block_n(n: int) -> int:
-    return min(_round_up(n, 128), _round_up(n, _MHA_BLOCK_N))
+    # smallest bf16-tileable block covering the sequence: overhang rows cost
+    # VPU time in the (nb, nb) softmax, so round to 16 sublanes, not 128
+    return _round_up(n, 16)
 
 
 def _mha_fwd_kernel(qkv_ref, o_ref, *, num_heads: int, scale: float, n: int):
+    """Minimal-masking forward. Overhang rows (row >= n) read garbage q and
+    produce garbage/nan output rows — harmless, their writes land out of
+    bounds and are dropped. Overhang k COLUMNS are masked to -inf before the
+    softmax (exp then yields exact 0), and overhang v rows are zeroed so a
+    nan/inf bit pattern in uninitialized memory cannot poison 0*v products."""
     C = o_ref.shape[-1]
     d = C // num_heads
     nb = qkv_ref.shape[1]
     row = jax.lax.broadcasted_iota(jnp.int32, (nb, 1), 0)
     col_ok = jax.lax.broadcasted_iota(jnp.int32, (nb, nb), 1) < n
     for h in range(num_heads):
-        q = jnp.where(row < n, qkv_ref[0, :, h * d:(h + 1) * d], 0)
-        k = jnp.where(row < n, qkv_ref[0, :, C + h * d:C + (h + 1) * d], 0)
+        q = qkv_ref[0, :, h * d:(h + 1) * d]
+        k = qkv_ref[0, :, C + h * d:C + (h + 1) * d]
         v = jnp.where(row < n, qkv_ref[0, :, 2 * C + h * d:2 * C + (h + 1) * d], 0)
         s = jax.lax.dot_general(
             q.astype(jnp.float32), k.astype(jnp.float32),
@@ -180,17 +184,18 @@ def _mha_fwd_kernel(qkv_ref, o_ref, *, num_heads: int, scale: float, n: int):
         ) * scale
         s = jnp.where(col_ok, s, -jnp.inf)
         m = jnp.max(s, axis=-1, keepdims=True)
-        p = jnp.exp(s - m)                      # overhang rows: m=-inf -> nan
-        p = jnp.where(col_ok, p, 0.0)
-        l = jnp.sum(p, axis=-1, keepdims=True)
-        p = (p / jnp.maximum(l, 1e-30)).astype(qkv_ref.dtype)
-        p = jnp.where(row < n, p, 0)            # kill overhang-row nans
-        o_ref[0, :, h * d:(h + 1) * d] = jnp.dot(
-            p, v, preferred_element_type=jnp.float32).astype(o_ref.dtype)
+        p = jnp.exp(s - m)                      # masked cols -> exact 0
+        linv = 1.0 / jnp.sum(p, axis=-1, keepdims=True)
+        o = jnp.dot(p.astype(qkv_ref.dtype), v,
+                    preferred_element_type=jnp.float32)
+        o_ref[0, :, h * d:(h + 1) * d] = (o * linv).astype(o_ref.dtype)
 
 
 def _mha_bwd_kernel(qkv_ref, do_ref, dqkv_ref, *, num_heads: int,
                     scale: float, n: int):
+    # q/k/do overhang rows are zeroed so overhang garbage cannot reach the
+    # row-contracting dv/dk dots (with q,k zeroed, overhang p rows are a
+    # finite exp(0-0)=1 and meet only zeroed do rows); v rows as in forward.
     C = do_ref.shape[-1]
     d = C // num_heads
     nb = qkv_ref.shape[1]
@@ -201,29 +206,26 @@ def _mha_bwd_kernel(qkv_ref, do_ref, dqkv_ref, *, num_heads: int,
         k = jnp.where(row < n, qkv_ref[0, :, C + h * d:C + (h + 1) * d], 0)
         v = jnp.where(row < n, qkv_ref[0, :, 2 * C + h * d:2 * C + (h + 1) * d], 0)
         do = jnp.where(row < n, do_ref[0, :, h * d:(h + 1) * d], 0)
-        qf = q.astype(jnp.float32)
-        kf = k.astype(jnp.float32)
         s = jax.lax.dot_general(
-            qf, kf, (((1,), (1,)), ((), ())),
+            q.astype(jnp.float32), k.astype(jnp.float32),
+            (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32) * scale
         s = jnp.where(col_ok, s, -jnp.inf)
         m = jnp.max(s, axis=-1, keepdims=True)
-        p = jnp.exp(s - m)
-        p = jnp.where(col_ok, p, 0.0)
-        l = jnp.sum(p, axis=-1, keepdims=True)
-        p = p / jnp.maximum(l, 1e-30)
-        p = jnp.where(row < n, p, 0.0)          # (nb, nb) f32, overhang-clean
-        dof = do.astype(jnp.float32)
+        e = jnp.exp(s - m)                      # masked cols -> exact 0
+        linv = 1.0 / jnp.sum(e, axis=-1, keepdims=True)
+        p = e * linv
         pb = p.astype(qkv_ref.dtype)
         # dv = p^T @ do
         dv = jax.lax.dot_general(pb, do, (((0,), (0,)), ((), ())),
                                  preferred_element_type=jnp.float32)
         # dp = do @ v^T ; delta_r = sum_c do[r,c] * o[r,c] = rowsum(dp * p)
-        dp = jax.lax.dot_general(dof, v.astype(jnp.float32),
+        dp = jax.lax.dot_general(do.astype(jnp.float32), v.astype(jnp.float32),
                                  (((1,), (1,)), ((), ())),
                                  preferred_element_type=jnp.float32)
-        delta = jnp.sum(dp * p, axis=-1, keepdims=True)
-        ds = (p * (dp - delta) * scale).astype(qkv_ref.dtype)
+        pdp = p * dp
+        delta = jnp.sum(pdp, axis=-1, keepdims=True)
+        ds = ((pdp - p * delta) * scale).astype(qkv_ref.dtype)
         dq = jnp.dot(ds, k, preferred_element_type=jnp.float32)
         dk = jax.lax.dot_general(ds, q, (((0,), (0,)), ((), ())),
                                  preferred_element_type=jnp.float32)

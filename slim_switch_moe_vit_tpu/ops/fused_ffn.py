@@ -16,14 +16,16 @@ tiles share the same weight block, which Pallas detects via the index map).
 Padding rows carry zero cotangents by construction (they are never gathered
 by the combine step), so they contribute nothing to any gradient.
 
-Backward is a custom VJP with three more kernels:
-- dgrad: recomputes h = x@w1+b1 (cheaper than saving h: one extra tile GEMM
-  vs a 155 MB/block HBM round-trip), computes dx = ((dy@w2^T)*gelu'(h))@w1^T,
-  and spills dh and g=gelu(h) as bf16 (streams at full HBM bandwidth).
-- wgrad x2: single-dot kernels over the spills (dw1 = x^T@dh, dw2 = g^T@dy)
-  accumulating dw/db in VMEM f32 across each expert's consecutive tiles,
-  spilling once per expert. (Recomputing h in both wgrad halves instead was
-  measured at ~2.6 ms/block — compute-bound on the duplicated GEMMs.)
+Backward is a custom VJP with ONE unified kernel (grid (2, n_tiles), hidden
+dim split in half per pass so the f32 dw accumulators fit VMEM): each pass
+recomputes its half of h = x@w1+b1, computes the dx contribution
+((dy@w2h^T)*gelu'(h))@w1h^T and accumulates dw1/db1/dw2 in VMEM f32 across
+each expert's consecutive row tiles. Nothing is spilled to HBM between
+backward stages — the previous 3-kernel design (dgrad spilling bf16 dh and
+g=gelu(h), two wgrad kernels re-reading them) moved an extra ~640 MB/block;
+the unified kernel re-reads only x and dy (~160 MB) and runs the same five
+GEMMs. dx arrives as two half-hidden partials summed by XLA (fused into the
+consumer), db2 (hidden-independent) is taken from the first pass.
 """
 from __future__ import annotations
 
@@ -36,9 +38,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-TILE_ROWS = 256    # layout alignment + fwd/wgrad row tile
-DGRAD_TILE = 128   # dgrad carries two (rows, H) spill blocks -> smaller tile
-                   # (256 rows puts it 76 KB over the 16 MiB VMEM budget)
+TILE_ROWS = 256    # layout alignment + fwd/bwd row tile
 
 _SQRT_2_OVER_PI = 0.7978845608028654
 
@@ -108,67 +108,8 @@ def _fwd(xs, w1, b1, w2, b2, e_of_tile):
 
 
 # ---------------------------------------------------------------------------
-# backward: dx
-# ---------------------------------------------------------------------------
-
-def _dgrad_kernel(e_ref, dy_ref, x_ref, w1_ref, b1_ref, w2_ref,
-                  dx_ref, dh_ref, g_ref):
-    h = jnp.dot(x_ref[:], w1_ref[0], preferred_element_type=jnp.float32)
-    h = h + b1_ref[0, 0].astype(jnp.float32)
-    # dh = (dy @ w2^T) * gelu'(h)
-    dyh = jax.lax.dot_general(
-        dy_ref[:], w2_ref[0], (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32)
-    dh = (dyh * _dgelu(h)).astype(x_ref.dtype)
-    dx = jax.lax.dot_general(
-        dh, w1_ref[0], (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32)
-    dx_ref[:] = dx.astype(dx_ref.dtype)
-    # spill dh and g = gelu(h) so the wgrad kernels are single dots without
-    # the h recompute (wgrad recompute measured ~1.3 ms/half/block; these two
-    # bf16 spills stream at full HBM bandwidth instead)
-    dh_ref[:] = dh
-    g_ref[:] = _gelu(h).astype(g_ref.dtype)
-
-
-def _dgrad(dy, xs, w1, b1, w2, e_of_tile):
-    Tp, D = xs.shape
-    E, _, H = w1.shape
-    # finer tile than the layout alignment: each DGRAD_TILE chunk still has a
-    # single owning expert because groups are TILE_ROWS(>=DGRAD_TILE)-aligned
-    reps = TILE_ROWS // DGRAD_TILE
-    e_fine = jnp.repeat(e_of_tile, reps) if reps > 1 else e_of_tile
-    n_tiles = Tp // DGRAD_TILE
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=(n_tiles,),
-        in_specs=[
-            pl.BlockSpec((DGRAD_TILE, D), lambda i, e: (i, 0)),
-            pl.BlockSpec((DGRAD_TILE, D), lambda i, e: (i, 0)),
-            pl.BlockSpec((1, D, H), lambda i, e: (e[i], 0, 0)),
-            pl.BlockSpec((1, 1, H), lambda i, e: (e[i], 0, 0)),
-            pl.BlockSpec((1, H, D), lambda i, e: (e[i], 0, 0)),
-        ],
-        out_specs=[
-            pl.BlockSpec((DGRAD_TILE, D), lambda i, e: (i, 0)),
-            pl.BlockSpec((DGRAD_TILE, H), lambda i, e: (i, 0)),
-            pl.BlockSpec((DGRAD_TILE, H), lambda i, e: (i, 0)),
-        ],
-    )
-    return pl.pallas_call(
-        _dgrad_kernel,
-        grid_spec=grid_spec,
-        out_shape=[
-            jax.ShapeDtypeStruct((Tp, D), xs.dtype),
-            jax.ShapeDtypeStruct((Tp, H), xs.dtype),
-            jax.ShapeDtypeStruct((Tp, H), xs.dtype),
-        ],
-        interpret=_interpret(),
-    )(e_fine, dy, xs, w1, b1[:, None], w2)
-
-
-# ---------------------------------------------------------------------------
-# backward: dw / db (accumulated in VMEM across each expert's tiles)
+# backward: one kernel for dx, dw1, db1, dw2, db2 (hidden dim split in half
+# across the outer grid dim so the f32 dw accumulators fit VMEM)
 # ---------------------------------------------------------------------------
 
 def _accumulate(first, refs_and_vals):
@@ -183,74 +124,82 @@ def _accumulate(first, refs_and_vals):
             ref[:] = ref[:] + val
 
 
-def _wgrad1_kernel(e_ref, x_ref, dh_ref, dw1_ref, db1_ref):
-    i = pl.program_id(0)
+def _bwd_kernel(e_ref, dy_ref, x_ref, w1_ref, b1_ref, w2_ref,
+                dxp_ref, dw1_ref, db1_ref, dw2_ref, db2_ref):
+    i = pl.program_id(1)
     first = jnp.logical_or(i == 0, e_ref[i] != e_ref[jnp.maximum(i - 1, 0)])
-    dh = dh_ref[:]
-    dw1 = jax.lax.dot_general(  # x^T @ dh -> (D, H)
-        x_ref[:], dh, (((0,), (0,)), ((), ())),
+    x = x_ref[:]
+    dy = dy_ref[:]
+    h = jnp.dot(x, w1_ref[0], preferred_element_type=jnp.float32)
+    h = h + b1_ref[0, 0].astype(jnp.float32)
+    # dh = (dy @ w2h^T) * gelu'(h)   (this hidden half only)
+    dyh = jax.lax.dot_general(
+        dy, w2_ref[0], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    dh = dyh * _dgelu(h)
+    dhb = dh.astype(x.dtype)
+    dxp = jax.lax.dot_general(
+        dhb, w1_ref[0], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    dxp_ref[0] = dxp.astype(dxp_ref.dtype)
+    dw1 = jax.lax.dot_general(  # x^T @ dh -> (D, H2)
+        x, dhb, (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)[None]
-    db1 = jnp.sum(dh.astype(jnp.float32), axis=0)[None, None]
-    _accumulate(first, [(dw1_ref, dw1), (db1_ref, db1)])
-
-
-def _wgrad2_kernel(e_ref, g_ref, dy_ref, dw2_ref, db2_ref):
-    i = pl.program_id(0)
-    first = jnp.logical_or(i == 0, e_ref[i] != e_ref[jnp.maximum(i - 1, 0)])
-    dw2 = jax.lax.dot_general(  # g^T @ dy -> (H, D)
-        g_ref[:], dy_ref[:], (((0,), (0,)), ((), ())),
+    db1 = jnp.sum(dh, axis=0)[None, None]
+    g = _gelu(h).astype(x.dtype)
+    dw2 = jax.lax.dot_general(  # g^T @ dy -> (H2, D)
+        g, dy, (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)[None]
-    db2 = jnp.sum(dy_ref[:].astype(jnp.float32), axis=0)[None, None]
-    _accumulate(first, [(dw2_ref, dw2), (db2_ref, db2)])
+    db2 = jnp.sum(dy.astype(jnp.float32), axis=0)[None, None, None]
+    _accumulate(first, [(dw1_ref, dw1), (db1_ref, db1), (dw2_ref, dw2),
+                        (db2_ref, db2)])
 
 
-def _wgrad(dy, xs, dh, g, e_of_tile, E):
-    """Two single-dot pallas_calls (dw1+db1, dw2+db2) over the dh/g spills
-    from dgrad. A single fused kernel holding both f32 weight accumulators
-    double-buffered exceeds the 16 MiB VMEM budget at d=384/h=1536."""
+def _bwd(dy, xs, w1, b1, w2, e_of_tile):
+    """dx (as 2 half-hidden partials), dw1, db1, dw2, db2 in one pallas_call.
+
+    Grid (2, n_tiles): the outer dim picks a hidden half, the inner streams
+    row tiles; each (expert, half) dw window is visited by a consecutive tile
+    run, accumulating in VMEM f32 and flushing once. db2 does not depend on
+    the hidden half, so it is written per-half and the caller keeps half 0.
+    """
     Tp, D = xs.shape
-    H = dh.shape[1]
+    E, _, H = w1.shape
+    H2 = H // 2
     n_tiles = Tp // TILE_ROWS
-
-    row_d = pl.BlockSpec((TILE_ROWS, D), lambda i, e: (i, 0))
-    row_h = pl.BlockSpec((TILE_ROWS, H), lambda i, e: (i, 0))
-
-    dw1, db1 = pl.pallas_call(
-        _wgrad1_kernel,
-        grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=1,
-            grid=(n_tiles,),
-            in_specs=[row_d, row_h],
-            out_specs=[
-                pl.BlockSpec((1, D, H), lambda i, e: (e[i], 0, 0)),
-                pl.BlockSpec((1, 1, H), lambda i, e: (e[i], 0, 0)),
-            ],
-        ),
+    row_d = pl.BlockSpec((1, TILE_ROWS, D), lambda hh, i, e: (hh, i, 0))
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(2, n_tiles),
+        in_specs=[
+            pl.BlockSpec((TILE_ROWS, D), lambda hh, i, e: (i, 0)),
+            pl.BlockSpec((TILE_ROWS, D), lambda hh, i, e: (i, 0)),
+            pl.BlockSpec((1, D, H2), lambda hh, i, e: (e[i], 0, hh)),
+            pl.BlockSpec((1, 1, H2), lambda hh, i, e: (e[i], 0, hh)),
+            pl.BlockSpec((1, H2, D), lambda hh, i, e: (e[i], hh, 0)),
+        ],
+        out_specs=[
+            row_d,                                                   # dx part
+            pl.BlockSpec((1, D, H2), lambda hh, i, e: (e[i], 0, hh)),
+            pl.BlockSpec((1, 1, H2), lambda hh, i, e: (e[i], 0, hh)),
+            pl.BlockSpec((1, H2, D), lambda hh, i, e: (e[i], hh, 0)),
+            pl.BlockSpec((1, 1, 1, D), lambda hh, i, e: (hh, e[i], 0, 0)),
+        ],
+    )
+    dxp, dw1, db1, dw2, db2 = pl.pallas_call(
+        _bwd_kernel,
+        grid_spec=grid_spec,
         out_shape=[
+            jax.ShapeDtypeStruct((2, Tp, D), xs.dtype),
             jax.ShapeDtypeStruct((E, D, H), jnp.float32),
             jax.ShapeDtypeStruct((E, 1, H), jnp.float32),
-        ],
-        interpret=_interpret(),
-    )(e_of_tile, xs, dh)
-
-    dw2, db2 = pl.pallas_call(
-        _wgrad2_kernel,
-        grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=1,
-            grid=(n_tiles,),
-            in_specs=[row_h, row_d],
-            out_specs=[
-                pl.BlockSpec((1, H, D), lambda i, e: (e[i], 0, 0)),
-                pl.BlockSpec((1, 1, D), lambda i, e: (e[i], 0, 0)),
-            ],
-        ),
-        out_shape=[
             jax.ShapeDtypeStruct((E, H, D), jnp.float32),
-            jax.ShapeDtypeStruct((E, 1, D), jnp.float32),
+            jax.ShapeDtypeStruct((2, E, 1, D), jnp.float32),
         ],
         interpret=_interpret(),
-    )(e_of_tile, g, dy)
-    return dw1, db1[:, 0], dw2, db2[:, 0]
+    )(e_of_tile, dy, xs, w1, b1[:, None], w2)
+    dx = dxp[0] + dxp[1]  # XLA fuses this add into the consumer
+    return dx, dw1, db1[:, 0], dw2, db2[0, :, 0]
 
 
 # ---------------------------------------------------------------------------
@@ -280,8 +229,7 @@ def _ffn_fwd(xs, w1, b1, w2, b2, e_of_tile):
 def _ffn_bwd(res, dy):
     xs, w1, b1, w2, e_of_tile = res
     dy = dy.astype(xs.dtype)
-    dx, dh, g = _dgrad(dy, xs, w1, b1, w2, e_of_tile)
-    dw1, db1, dw2, db2 = _wgrad(dy, xs, dh, g, e_of_tile, w1.shape[0])
+    dx, dw1, db1, dw2, db2 = _bwd(dy, xs, w1, b1, w2, e_of_tile)
     de = np.zeros(e_of_tile.shape, dtype=jax.dtypes.float0)
     return (dx, dw1.astype(w1.dtype), db1.astype(b1.dtype),
             dw2.astype(w2.dtype), db2.astype(b1.dtype), de)

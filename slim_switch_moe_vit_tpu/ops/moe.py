@@ -295,7 +295,8 @@ def _rank_in_expert(flat_e: jnp.ndarray, num_experts: int, chunk: int = 256):
 
 
 def aligned_expert_layout(expert_idx: jnp.ndarray, num_experts: int,
-                          tile: int = None):
+                          tile: int = None, gate_w: jnp.ndarray = None,
+                          weight_dtype=jnp.bfloat16):
     """Sort (token, choice) pairs by expert with TILE-aligned group starts.
 
     The fused Pallas FFN (``ops.fused_ffn``) requires every ``tile``-row block
@@ -309,8 +310,8 @@ def aligned_expert_layout(expert_idx: jnp.ndarray, num_experts: int,
             cotangents are zero, so the value is irrelevant).
         pair_slot: (T, k) int32 — padded slot of each (token, choice) pair.
         e_of_tile: (Tp // tile,) int32 — owning expert of each row tile.
-        slot_of: (Tp,) int32 — flat (token*k + choice) pair of each slot,
-            -1 at padding slots.
+        w_slot: (Tp,) weight_dtype — combine weight of each slot (0 at
+            padding), or None when gate_w is not given.
     """
     if tile is None:
         from .fused_ffn import TILE_ROWS as tile
@@ -330,19 +331,47 @@ def aligned_expert_layout(expert_idx: jnp.ndarray, num_experts: int,
 
     slot_pair = padded_starts[flat] + rank               # (TK,)
     pair_slot = slot_pair
-    # ONE scatter builds the full slot table: the flat pair index of each
-    # slot (slot_pair values are unique, so "set" is exact); -1 marks padding
-    # slots. gather_idx and the combine weight per slot both derive from it
-    # by cheap gathers instead of further scatters.
-    slot_of = jnp.full((Tp,), -1, jnp.int32).at[slot_pair].set(
-        jnp.arange(TK, dtype=jnp.int32))
-    gather_idx = jnp.maximum(slot_of, 0) // k
+    # The slot table (which pair occupies each padded slot + its combine
+    # weight) needs random-access construction. Element scatters/gathers on
+    # (Tp,) vectors cost ~0.2-0.4 ms each at this size (profiled: 1-D random
+    # access moves a full tile per element), so build the WHOLE table with
+    # ONE scatter of packed s32 values: low 16 bits = flat pair index, high
+    # 16 bits = the pair's gate weight as bf16 bits. Padding slots keep the
+    # init value 0 = (pair 0, weight +0.0) — a zero combine weight is exactly
+    # the padding semantics the backward needs. Packing rounds the weight to
+    # bf16, so it applies only when the activations are bf16 anyway (the
+    # d_out product rounds to bf16 regardless); f32 models take the exact
+    # two-scatter path, as does T*k >= 2**16.
+    # stop_gradient: w_slot is a backward-only helper (the real gate grad
+    # arrives via d_gate); without it autodiff would try to differentiate
+    # through the bitcast.
+    gate_ng = (None if gate_w is None
+               else jax.lax.stop_gradient(gate_w.reshape(-1)))
+    if (gate_ng is not None and TK < (1 << 16)
+            and jnp.dtype(weight_dtype) == jnp.bfloat16):
+        gbits = jax.lax.bitcast_convert_type(
+            gate_ng.astype(jnp.bfloat16), jnp.uint16
+        ).astype(jnp.int32)
+        packed_vals = (gbits << 16) | jnp.arange(TK, dtype=jnp.int32)
+        packed = jnp.zeros((Tp,), jnp.int32).at[slot_pair].set(packed_vals)
+        gather_idx = (packed & 0xFFFF) // k
+        w_slot = jax.lax.bitcast_convert_type(
+            ((packed >> 16) & 0xFFFF).astype(jnp.uint16), jnp.bfloat16)
+    else:
+        pair_of = jnp.zeros((Tp,), jnp.int32).at[slot_pair].set(
+            jnp.arange(TK, dtype=jnp.int32))
+        gather_idx = pair_of // k
+        if gate_ng is not None:
+            w_slot = jnp.zeros((Tp,), weight_dtype).at[slot_pair].set(
+                gate_ng.astype(weight_dtype))
+        else:
+            w_slot = None
 
     tile_starts = jnp.arange(n_tiles, dtype=jnp.int32) * tile
     e_of_tile = jnp.clip(
         jnp.searchsorted(padded_starts, tile_starts, side="right") - 1,
         0, E - 1).astype(jnp.int32)
-    return gather_idx, pair_slot.reshape(T, k), e_of_tile, slot_of
+    return gather_idx, pair_slot.reshape(T, k), e_of_tile, w_slot
 
 
 def _f0(a):
@@ -379,17 +408,18 @@ _dispatch_gather.defvjp(_dispatch_gather_fwd, _dispatch_gather_bwd)
 
 
 @jax.custom_vjp
-def _combine_slots(out, pair_slot, gate_w, gather_idx, slot_of):
+def _combine_slots(out, pair_slot, gate_w, gather_idx, w_slot):
     """y[t] = sum_k gate_w[t,k] * out[pair_slot[t,k]].
 
     Custom VJP: the automatic backward of the per-choice gathers is k
     scatter-adds into the (Tp, d) buffer (~0.7 ms each). Because slots are
     unique and gather_idx inverts them, d_out is instead ONE row gather:
-    d_out[s] = dy[gather_idx[s]] * w_slot[s]. The per-slot gate weight is a
-    gather through slot_of (0 at padding slots, where slot_of is -1) — no
-    scatter anywhere in the backward. ``out`` itself is the residual (already
-    materialized), so the forward saves nothing extra; d_gate re-gathers out
-    rows in backward.
+    d_out[s] = dy[gather_idx[s]] * w_slot[s] (w_slot is 0 at padding slots,
+    built by the packed layout scatter). ``out`` itself is the residual
+    (already materialized), so the forward saves nothing extra; d_gate
+    re-gathers out rows in backward — as wide (T, d) row gathers; deriving it
+    from per-slot rowsums needs 1-D element gathers, which cost ~10x wide
+    row access on TPU (profiled).
     """
     y = None
     for kk in range(pair_slot.shape[1]):
@@ -399,24 +429,21 @@ def _combine_slots(out, pair_slot, gate_w, gather_idx, slot_of):
     return y
 
 
-def _combine_slots_fwd(out, pair_slot, gate_w, gather_idx, slot_of):
-    return (_combine_slots(out, pair_slot, gate_w, gather_idx, slot_of),
-            (out, pair_slot, gate_w, gather_idx, slot_of))
+def _combine_slots_fwd(out, pair_slot, gate_w, gather_idx, w_slot):
+    return (_combine_slots(out, pair_slot, gate_w, gather_idx, w_slot),
+            (out, pair_slot, gate_w, gather_idx, w_slot))
 
 
 def _combine_slots_bwd(res, dy):
-    out, pair_slot, gate_w, gather_idx, slot_of = res
-    k = pair_slot.shape[1]
+    out, pair_slot, gate_w, gather_idx, w_slot = res
     dyc = dy.astype(out.dtype)
     d_gate = jnp.stack(
         [jnp.sum(jnp.take(out, pair_slot[:, kk], axis=0) * dyc, axis=-1)
-         for kk in range(k)], axis=1).astype(gate_w.dtype)
-    w_slot = jnp.where(slot_of >= 0,
-                       jnp.take(gate_w.reshape(-1), jnp.maximum(slot_of, 0)),
-                       0.0)
-    d_out = jnp.take(dy, gather_idx, axis=0) * w_slot[:, None].astype(dy.dtype)
-    return (d_out.astype(out.dtype), _f0(pair_slot), d_gate, _f0(gather_idx),
-            _f0(slot_of))
+         for kk in range(pair_slot.shape[1])], axis=1).astype(gate_w.dtype)
+    d_out = jnp.take(dyc, gather_idx, axis=0) * w_slot[:, None].astype(
+        out.dtype)
+    return (d_out, _f0(pair_slot), d_gate, _f0(gather_idx),
+            jnp.zeros_like(w_slot))
 
 
 _combine_slots.defvjp(_combine_slots_fwd, _combine_slots_bwd)
@@ -439,13 +466,13 @@ def moe_forward_fused(x: jnp.ndarray, router_w, router_b, w1, b1, w2, b2, *,
     logits = jnp.dot(x.astype(jnp.float32), router_w.astype(jnp.float32)) + router_b
     gate_w, expert_idx = naive_topk_gate(logits, top_k)
 
-    gather_idx, pair_slot, e_of_tile, slot_of = aligned_expert_layout(
-        expert_idx, E)
+    gather_idx, pair_slot, e_of_tile, w_slot = aligned_expert_layout(
+        expert_idx, E, gate_w=gate_w, weight_dtype=x.dtype)
     xs = _dispatch_gather(x, gather_idx, pair_slot)
     out = fused_expert_ffn(xs, w1.astype(x.dtype), b1.astype(jnp.float32),
                            w2.astype(x.dtype), b2.astype(jnp.float32),
                            e_of_tile)
-    y = _combine_slots(out, pair_slot, gate_w, gather_idx, slot_of)
+    y = _combine_slots(out, pair_slot, gate_w, gather_idx, w_slot)
     aux = {
         "balance_loss": load_balance_loss(logits, expert_idx, E),
         "drop_fraction": jnp.asarray(0.0, jnp.float32),

@@ -24,20 +24,25 @@ def test_aligned_layout_roundtrip():
     eidx = jnp.asarray(rs.randint(0, E, (T, k)), jnp.int32)
     from slim_switch_moe_vit_tpu.ops.fused_ffn import TILE_ROWS
 
-    gather_idx, pair_slot, e_of_tile, slot_of = moe_ops.aligned_expert_layout(
-        eidx, E)
-    gi, ps, et, so = map(np.asarray, (gather_idx, pair_slot, e_of_tile,
-                                      slot_of))
-    # each pair's slot holds its own token, in a tile owned by its expert
+    gate = jnp.asarray(rs.rand(T, k), jnp.float32)
+    gather_idx, pair_slot, e_of_tile, w_slot = moe_ops.aligned_expert_layout(
+        eidx, E, gate_w=gate)
+    gi, ps, et, ws = map(np.asarray, (gather_idx, pair_slot, e_of_tile,
+                                      np.asarray(w_slot, np.float32)))
+    gate_np = np.asarray(gate)
+    # each pair's slot holds its own token and bf16 gate weight, in a tile
+    # owned by its expert
     for t in range(T):
         for kk in range(k):
             s = ps[t, kk]
             assert gi[s] == t
-            assert so[s] == t * k + kk
+            np.testing.assert_allclose(ws[s], gate_np[t, kk], rtol=8e-3)
             assert et[s // TILE_ROWS] == eidx[t, kk]
-    # slots are unique; every non-pair slot is marked padding
+    # slots are unique; every padding slot carries zero combine weight
     assert len(set(ps.ravel().tolist())) == T * k
-    assert (so >= 0).sum() == T * k
+    pad = np.ones(ws.shape, bool)
+    pad[ps.ravel()] = False
+    assert (ws[pad] == 0).all()
 
 
 def test_fused_matches_dense_oracle_fwd_and_grad():
