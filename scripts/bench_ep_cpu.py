@@ -1,0 +1,82 @@
+"""BASELINE config 5: expert-parallel train step on the virtual 8-CPU mesh.
+
+Real multi-chip hardware is unavailable in this environment (one tunneled
+v5e chip), so this measures the EP path — expert-sharded params, capacity
+dispatch, XLA all_to_all over the mesh — on 8 virtual CPU devices. The
+number is a CORRECTNESS + step-time artifact for the sharded program, not a
+hardware throughput claim (CPU mesh ~= emulation); vs_baseline is null.
+"""
+import json
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+import numpy as np
+
+
+def main():
+    import jax
+
+    try:
+        jax.config.update("jax_num_cpu_devices", 8)
+    except RuntimeError:
+        pass
+    jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+
+    from slim_switch_moe_vit_tpu import create_model, losses, optim
+    from slim_switch_moe_vit_tpu.engine import make_train_step
+    from slim_switch_moe_vit_tpu.parallel import (
+        batch_sharding, make_mesh, shard_params,
+    )
+    from slim_switch_moe_vit_tpu.train_state import create_train_state
+
+    devices = jax.devices("cpu")[:8]
+    mesh = make_mesh(n_data=2, n_expert=4, devices=devices)
+
+    img = 64
+    batch = 32
+    # ViT-B/32-expert is the BASELINE config-5 model; at CPU-emulation scale
+    # we keep its EP structure (32 experts over 4-way expert sharding) on a
+    # small image so the step finishes in seconds.
+    model = create_model("moe_base_patch16_224_expert32", num_classes=1000,
+                         img_size=img, capacity_factor=2.0,
+                         dispatch_mode="capacity", attn_impl="xla")
+    probe = create_train_state(model, (1, img, img, 3))
+    opt_init, opt_update = optim.make_optimizer(probe.params,
+                                                weight_decay=0.05)
+    state = create_train_state(model, (1, img, img, 3), opt_init=opt_init,
+                               use_ema=False)
+    crit = losses.make_base_criterion(False, 0.1, False)
+    step = make_train_step(model, opt_update, crit, donate=False)
+
+    x = np.random.RandomState(0).randn(batch, img, img, 3).astype(np.float32)
+    y = np.random.RandomState(1).randint(0, 1000, batch)
+
+    with jax.set_mesh(mesh):
+        sharded_params = shard_params(state.params, mesh)
+        state = state.replace(params=sharded_params,
+                              opt_state=opt_init(sharded_params))
+        xs = jax.device_put(jnp.asarray(x), batch_sharding(mesh))
+        ys = jax.device_put(jnp.asarray(y), batch_sharding(mesh))
+        lr = jnp.float32(1e-3)
+        state, metrics = step(state, xs, ys, lr, lr)   # compile
+        assert np.isfinite(float(metrics["loss"]))
+        K = 3
+        t0 = time.perf_counter()
+        for _ in range(K):
+            state, metrics = step(state, xs, ys, lr, lr)
+        _ = float(metrics["loss"])
+        dt = (time.perf_counter() - t0) / K
+
+    print(json.dumps({
+        "metric": "ep_train_step_ms_vit_b_32experts_2x4_virtual_cpu_mesh",
+        "value": round(dt * 1000, 1),
+        "unit": "ms/step",
+        "vs_baseline": None,
+    }))
+
+
+if __name__ == "__main__":
+    main()

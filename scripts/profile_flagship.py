@@ -30,8 +30,11 @@ def main():
     state = create_train_state(model, (1, img, img, 3), opt_init=opt_init,
                                use_ema=True)
     crit = losses.make_base_criterion(False, 0.1, False)
-    step = make_train_step(model, opt_update, crit, ema_decay=0.99996,
-                           donate=False)
+    import os
+
+    step = make_train_step(
+        model, opt_update, crit, ema_decay=0.99996, donate=False,
+        use_fused_optimizer=bool(int(os.environ.get("FUSED_OPT", "0"))))
     inner = getattr(step, "__wrapped__", step)
 
     x = jnp.asarray(np.random.RandomState(0).randn(batch, img, img, 3),

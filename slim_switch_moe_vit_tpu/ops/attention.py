@@ -168,27 +168,34 @@ def _mha_fwd_kernel(qkv_ref, o_ref, *, num_heads: int, scale: float, n: int):
     produce garbage/nan output rows — harmless, their writes land out of
     bounds and are dropped. Overhang k COLUMNS are masked to -inf before the
     softmax (exp then yields exact 0), and overhang v rows are zeroed so a
-    nan/inf bit pattern in uninitialized memory cannot poison 0*v products."""
+    nan/inf bit pattern in uninitialized memory cannot poison 0*v products.
+
+    Several samples share one grid cell (G = leading block dim): each
+    (sample, head) pair is an independent dot->softmax->dot chain, and the
+    unrolled loop gives the VLIW scheduler independent work to hide MXU/VPU
+    latencies (the chains are individually latency-bound at ViT sizes)."""
     C = o_ref.shape[-1]
     d = C // num_heads
-    nb = qkv_ref.shape[1]
+    G, nb = qkv_ref.shape[0], qkv_ref.shape[1]
     row = jax.lax.broadcasted_iota(jnp.int32, (nb, 1), 0)
     col_ok = jax.lax.broadcasted_iota(jnp.int32, (nb, nb), 1) < n
-    for h in range(num_heads):
-        q = qkv_ref[0, :, h * d:(h + 1) * d]
-        k = qkv_ref[0, :, C + h * d:C + (h + 1) * d]
-        v = jnp.where(row < n, qkv_ref[0, :, 2 * C + h * d:2 * C + (h + 1) * d], 0)
-        s = jax.lax.dot_general(
-            q.astype(jnp.float32), k.astype(jnp.float32),
-            (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
-        ) * scale
-        s = jnp.where(col_ok, s, -jnp.inf)
-        m = jnp.max(s, axis=-1, keepdims=True)
-        p = jnp.exp(s - m)                      # masked cols -> exact 0
-        linv = 1.0 / jnp.sum(p, axis=-1, keepdims=True)
-        o = jnp.dot(p.astype(qkv_ref.dtype), v,
-                    preferred_element_type=jnp.float32)
-        o_ref[0, :, h * d:(h + 1) * d] = (o * linv).astype(o_ref.dtype)
+    for g in range(G):
+        for h in range(num_heads):
+            # scale folded into q: a (nb, d) multiply instead of (nb, nb)
+            q = qkv_ref[g, :, h * d:(h + 1) * d].astype(jnp.float32) * scale
+            k = qkv_ref[g, :, C + h * d:C + (h + 1) * d]
+            v = jnp.where(row < n,
+                          qkv_ref[g, :, 2 * C + h * d:2 * C + (h + 1) * d], 0)
+            s = jax.lax.dot_general(
+                q, k.astype(jnp.float32),
+                (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+            s = jnp.where(col_ok, s, -jnp.inf)
+            m = jnp.max(s, axis=-1, keepdims=True)
+            p = jnp.exp(s - m)                  # masked cols -> exact 0
+            linv = 1.0 / jnp.sum(p, axis=-1, keepdims=True)
+            o = jnp.dot(p.astype(qkv_ref.dtype), v,
+                        preferred_element_type=jnp.float32)
+            o_ref[g, :, h * d:(h + 1) * d] = (o * linv).astype(o_ref.dtype)
 
 
 def _mha_bwd_kernel(qkv_ref, do_ref, dqkv_ref, *, num_heads: int,
@@ -201,50 +208,68 @@ def _mha_bwd_kernel(qkv_ref, do_ref, dqkv_ref, *, num_heads: int,
     nb = qkv_ref.shape[1]
     row = jax.lax.broadcasted_iota(jnp.int32, (nb, 1), 0)
     col_ok = jax.lax.broadcasted_iota(jnp.int32, (nb, nb), 1) < n
-    for h in range(num_heads):
-        q = jnp.where(row < n, qkv_ref[0, :, h * d:(h + 1) * d], 0)
-        k = jnp.where(row < n, qkv_ref[0, :, C + h * d:C + (h + 1) * d], 0)
-        v = jnp.where(row < n, qkv_ref[0, :, 2 * C + h * d:2 * C + (h + 1) * d], 0)
-        do = jnp.where(row < n, do_ref[0, :, h * d:(h + 1) * d], 0)
-        s = jax.lax.dot_general(
-            q.astype(jnp.float32), k.astype(jnp.float32),
-            (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32) * scale
-        s = jnp.where(col_ok, s, -jnp.inf)
-        m = jnp.max(s, axis=-1, keepdims=True)
-        e = jnp.exp(s - m)                      # masked cols -> exact 0
-        linv = 1.0 / jnp.sum(e, axis=-1, keepdims=True)
-        p = e * linv
-        pb = p.astype(qkv_ref.dtype)
-        # dv = p^T @ do
-        dv = jax.lax.dot_general(pb, do, (((0,), (0,)), ((), ())),
-                                 preferred_element_type=jnp.float32)
-        # dp = do @ v^T ; delta_r = sum_c do[r,c] * o[r,c] = rowsum(dp * p)
-        dp = jax.lax.dot_general(do.astype(jnp.float32), v.astype(jnp.float32),
-                                 (((1,), (1,)), ((), ())),
-                                 preferred_element_type=jnp.float32)
-        pdp = p * dp
-        delta = jnp.sum(pdp, axis=-1, keepdims=True)
-        ds = ((pdp - p * delta) * scale).astype(qkv_ref.dtype)
-        dq = jnp.dot(ds, k, preferred_element_type=jnp.float32)
-        dk = jax.lax.dot_general(ds, q, (((0,), (0,)), ((), ())),
-                                 preferred_element_type=jnp.float32)
-        dt = dqkv_ref.dtype
-        dqkv_ref[0, :, h * d:(h + 1) * d] = dq.astype(dt)
-        dqkv_ref[0, :, C + h * d:C + (h + 1) * d] = dk.astype(dt)
-        dqkv_ref[0, :, 2 * C + h * d:2 * C + (h + 1) * d] = dv.astype(dt)
+    # The normalized p = e/l is never materialized: row scalings fold into
+    # the small (nb, d) operands instead of (nb, nb) passes —
+    #   dv = p^T do           = e^T (do * linv)
+    #   dp_s = scale * linv * (do @ v^T)  via  (do * linv * scale) @ v^T
+    #   ds = scale * p * (dp - delta)     = e * (dp_s - linv * delta_s)
+    # with delta_s = rowsum(e * dp_s) = scale * linv * delta.
+    G = qkv_ref.shape[0]
+    for g in range(G):
+        for h in range(num_heads):
+            q = jnp.where(row < n, qkv_ref[g, :, h * d:(h + 1) * d], 0)
+            k = jnp.where(row < n, qkv_ref[g, :, C + h * d:C + (h + 1) * d], 0)
+            v = jnp.where(row < n,
+                          qkv_ref[g, :, 2 * C + h * d:2 * C + (h + 1) * d], 0)
+            do = jnp.where(row < n, do_ref[g, :, h * d:(h + 1) * d],
+                           0).astype(jnp.float32)
+            s = jax.lax.dot_general(
+                q.astype(jnp.float32) * scale, k.astype(jnp.float32),
+                (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            s = jnp.where(col_ok, s, -jnp.inf)
+            m = jnp.max(s, axis=-1, keepdims=True)
+            e = jnp.exp(s - m)                  # masked cols -> exact 0
+            eb = e.astype(qkv_ref.dtype)
+            linv = 1.0 / jnp.sum(e, axis=-1, keepdims=True)
+            dv = jax.lax.dot_general(eb, (do * linv).astype(qkv_ref.dtype),
+                                     (((0,), (0,)), ((), ())),
+                                     preferred_element_type=jnp.float32)
+            dp_s = jax.lax.dot_general(do * (linv * scale),
+                                       v.astype(jnp.float32),
+                                       (((1,), (1,)), ((), ())),
+                                       preferred_element_type=jnp.float32)
+            edp = e * dp_s
+            delta_s = jnp.sum(edp, axis=-1, keepdims=True)
+            ds = (edp - e * (linv * delta_s)).astype(qkv_ref.dtype)
+            dq = jnp.dot(ds, k, preferred_element_type=jnp.float32)
+            dk = jax.lax.dot_general(ds, q, (((0,), (0,)), ((), ())),
+                                     preferred_element_type=jnp.float32)
+            dt = dqkv_ref.dtype
+            dqkv_ref[g, :, h * d:(h + 1) * d] = dq.astype(dt)
+            dqkv_ref[g, :, C + h * d:C + (h + 1) * d] = dk.astype(dt)
+            dqkv_ref[g, :, 2 * C + h * d:2 * C + (h + 1) * d] = dv.astype(dt)
+
+
+def _samples_per_cell(B: int, nb: int, row_bytes: int) -> int:
+    """Samples per grid cell. Measured on v5e at ViT-S/b128: G=1 is best —
+    the per-(sample, head) chains are already pipelined across grid steps,
+    and G=8 slows the forward ~40% (VMEM pressure eats the double
+    buffering). Kept as a hook for future shapes."""
+    return 1
 
 
 def _mha_fwd_call(qkv, num_heads, scale, interpret):
     B, N, C3 = qkv.shape
     C = C3 // 3
     nb = _round_block_n(N)
+    G = _samples_per_cell(B, nb, (C3 + C) * qkv.dtype.itemsize)
     return pl.pallas_call(
         functools.partial(_mha_fwd_kernel, num_heads=num_heads, scale=scale,
                           n=N),
-        grid=(B,),
-        in_specs=[pl.BlockSpec((1, nb, C3), lambda b: (b, 0, 0))],
-        out_specs=pl.BlockSpec((1, nb, C), lambda b: (b, 0, 0)),
+        grid=(B // G,),
+        in_specs=[pl.BlockSpec((G, nb, C3), lambda b: (b, 0, 0))],
+        out_specs=pl.BlockSpec((G, nb, C), lambda b: (b, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((B, N, C), qkv.dtype),
         interpret=interpret,
     )(qkv)
@@ -271,15 +296,16 @@ def _fused_mha_bwd(num_heads, scale, interpret, qkv, do):
     B, N, C3 = qkv.shape
     C = C3 // 3
     nb = _round_block_n(N)
+    G = _samples_per_cell(B, nb, (2 * C3 + C) * qkv.dtype.itemsize)
     dqkv = pl.pallas_call(
         functools.partial(_mha_bwd_kernel, num_heads=num_heads, scale=scale,
                           n=N),
-        grid=(B,),
+        grid=(B // G,),
         in_specs=[
-            pl.BlockSpec((1, nb, C3), lambda b: (b, 0, 0)),
-            pl.BlockSpec((1, nb, C), lambda b: (b, 0, 0)),
+            pl.BlockSpec((G, nb, C3), lambda b: (b, 0, 0)),
+            pl.BlockSpec((G, nb, C), lambda b: (b, 0, 0)),
         ],
-        out_specs=pl.BlockSpec((1, nb, C3), lambda b: (b, 0, 0)),
+        out_specs=pl.BlockSpec((G, nb, C3), lambda b: (b, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((B, N, C3), qkv.dtype),
         interpret=interpret,
     )(qkv, do)

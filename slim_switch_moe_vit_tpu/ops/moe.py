@@ -270,28 +270,33 @@ def moe_forward_ragged(x: jnp.ndarray, router_w, router_b, w1, b1, w2, b2, *,
 def _rank_in_expert(flat_e: jnp.ndarray, num_experts: int, chunk: int = 256):
     """Per-pair position within its expert group + total group sizes.
 
-    Computes the exclusive prefix count hierarchically: a flat
-    ``cumsum((T*k, E))`` is a 50k-long sequential scan (XLA lowers it as
-    log-N full passes, ~0.4 ms/block at ViT-S/b128); chunking into
-    ``chunk``-row blocks makes the inner scan 256 long and parallel across
-    chunks, with only a tiny (n_chunks, E) scan on top.
+    Hierarchical exclusive prefix count in a LANE-MAJOR layout: the naive
+    ``cumsum((T*k, E))`` runs on 8 of 128 VPU lanes (E is the minor dim) and
+    its scan is 50k long; here the chunk dim rides the sublanes and all
+    (n_chunks * E) counters ride the lanes, so the one real cumsum is a
+    256-step full-width scan. 16x faster than the chunked (…, E)-minor
+    variant on v5e (scripts/bench_rank.py).
 
     Returns:
-        rank: (T*k,) int32 — #earlier pairs choosing the same expert.
+        rank: (T*k,) int32 — #earlier pairs choosing the same expert
+            (token-major order = FastMoE token priority).
         group_sizes: (E,) int32.
     """
     TK = flat_e.shape[0]
     E = num_experts
     pad = (-TK) % chunk
     fe = jnp.pad(flat_e, (0, pad), constant_values=E)  # pad rows count nowhere
-    onehot = jax.nn.one_hot(fe, E, dtype=jnp.int32)    # (TKp, E); pad rows all-0
-    oh = onehot.reshape(-1, chunk, E)
-    within = jnp.cumsum(oh, axis=1)                    # parallel across chunks
-    chunk_tot = within[:, -1, :]                       # (n_chunks, E)
-    chunk_off = jnp.cumsum(chunk_tot, axis=0) - chunk_tot
-    pos = (chunk_off[:, None, :] + within - oh).reshape(-1, E)[:TK]
-    rank = jnp.take_along_axis(pos, flat_e[:, None], axis=1)[:, 0]
-    return rank, jnp.sum(chunk_tot, axis=0)
+    nc = fe.shape[0] // chunk
+    fe2 = fe.reshape(nc, chunk).T                      # (chunk, nc)
+    oh = (fe2[:, :, None] == jnp.arange(E, dtype=fe.dtype)).astype(jnp.int32)
+    ohf = oh.reshape(chunk, nc * E)
+    within = jnp.cumsum(ohf, axis=0)                   # full-lane scan
+    tot = within[-1].reshape(nc, E)
+    off = jnp.cumsum(tot, axis=0) - tot                # (nc, E), tiny
+    pos = (within - ohf).reshape(chunk, nc, E) + off[None]
+    rank2 = jnp.sum(pos * oh, axis=2)                  # select own-expert lane
+    rank = rank2.T.reshape(-1)[:TK]
+    return rank, jnp.sum(tot, axis=0)
 
 
 def aligned_expert_layout(expert_idx: jnp.ndarray, num_experts: int,

@@ -1,0 +1,248 @@
+"""Torch training oracle for golden-baseline curves.
+
+The reference cannot execute in this environment (its model path needs timm
+and the CUDA-only fmoe, neither installed — see BASELINE.md), so golden
+numbers are established against this minimal torch implementation of the
+SAME math the reference defines, written from its formulas:
+
+- ResMoE block wiring           /root/reference/models/resMoE.py:126-145
+  (norm1 -> gate -> attn on kept + residual; norm2 -> gate -> MoE on kept)
+- token-skip Gate STE           /root/reference/models/resMoE.py:59-85
+- FastMoE NaiveGate top-k       softmax over the k selected logits, dropless
+- DeiT attention / pre-LN ViT   /root/reference/models/vision_transformer.py:248-322
+- label-smoothing CE            timm LabelSmoothingCrossEntropy semantics
+- AdamW (decoupled wd) + two LR groups (gate params at --gate-lr)
+                                /root/reference/main.py:619-631
+
+Weights are TRANSFERRED from the JAX model (same init), batches are shared,
+and the two implementations must track each other's loss step by step — that
+trajectory is the "reference curve" at CPU scale.
+
+Layout notes: qkv is split contiguously (q = qkv[..., :C]); the reference's
+timm layout differs only by a fixed column permutation of the qkv weight,
+which cannot change the expressible function or the training dynamics, so
+the transfer uses this repo's convention on both sides.
+"""
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import torch
+import torch.nn.functional as F
+from torch import nn
+
+
+class OracleGate(nn.Module):
+    """reference models/resMoE.py:32-85 (hard STE path)."""
+
+    def __init__(self, dim):
+        super().__init__()
+        self.head = nn.Linear(dim, 1)
+
+    def forward(self, x, threshold: float):
+        prob = torch.sigmoid(self.head(x))              # (B, N, 1)
+        nprob = 1.0 - prob
+        hard_skip = (prob > threshold).float()
+        skip = hard_skip + nprob.detach() - nprob       # resMoE.py:76
+        keep = (1.0 - hard_skip) + prob.detach() - prob  # resMoE.py:77
+        return skip, keep
+
+
+class OracleMoE(nn.Module):
+    """FastMoE NaiveGate + dropless expert FFN (resMoE.py:15-29)."""
+
+    def __init__(self, dim, hidden, num_experts, top_k):
+        super().__init__()
+        self.router = nn.Linear(dim, num_experts)
+        self.w1 = nn.Parameter(torch.zeros(num_experts, dim, hidden))
+        self.b1 = nn.Parameter(torch.zeros(num_experts, hidden))
+        self.w2 = nn.Parameter(torch.zeros(num_experts, hidden, dim))
+        self.b2 = nn.Parameter(torch.zeros(num_experts, dim))
+        self.top_k = top_k
+
+    def forward(self, x):
+        B, N, d = x.shape
+        flat = x.reshape(-1, d)
+        logits = self.router(flat.float())
+        vals, idx = torch.topk(logits, self.top_k, dim=-1)
+        gate_w = torch.softmax(vals, dim=-1)            # over selected only
+        y = torch.zeros_like(flat)
+        E = self.w1.shape[0]
+        for e in range(E):
+            for kk in range(self.top_k):
+                sel = idx[:, kk] == e
+                if not sel.any():
+                    continue
+                xe = flat[sel]
+                h = F.gelu(xe @ self.w1[e] + self.b1[e], approximate="none")
+                out = h @ self.w2[e] + self.b2[e]
+                y[sel] += gate_w[sel, kk:kk + 1] * out
+        return y.reshape(B, N, d)
+
+
+class OracleAttention(nn.Module):
+    """vision_transformer.py:248-280 (contiguous qkv split, fp32 softmax)."""
+
+    def __init__(self, dim, num_heads):
+        super().__init__()
+        self.qkv = nn.Linear(dim, 3 * dim)
+        self.proj = nn.Linear(dim, dim)
+        self.num_heads = num_heads
+
+    def forward(self, x):
+        B, N, C = x.shape
+        H = self.num_heads
+        dh = C // H
+        qkv = self.qkv(x)
+        q, k, v = qkv.split(C, dim=-1)
+        q = q.reshape(B, N, H, dh).permute(0, 2, 1, 3)
+        k = k.reshape(B, N, H, dh).permute(0, 2, 1, 3)
+        v = v.reshape(B, N, H, dh).permute(0, 2, 1, 3)
+        attn = (q @ k.transpose(-2, -1)) * dh ** -0.5
+        attn = attn.softmax(dim=-1)
+        out = (attn @ v).permute(0, 2, 1, 3).reshape(B, N, C)
+        return self.proj(out)
+
+
+class OracleResMoEBlock(nn.Module):
+    """forward_residule_moe (resMoE.py:126-145): zero-mask semantics."""
+
+    def __init__(self, dim, num_heads, hidden, num_experts, top_k):
+        super().__init__()
+        self.norm1 = nn.LayerNorm(dim, eps=1e-6)
+        self.norm2 = nn.LayerNorm(dim, eps=1e-6)
+        self.attn = OracleAttention(dim, num_heads)
+        self.mlp = OracleMoE(dim, hidden, num_experts, top_k)
+        self.dense_gate = OracleGate(dim)
+        self.moe_gate = OracleGate(dim)
+
+    def forward(self, x, threshold: float):
+        x = self.norm1(x)
+        skip_w, keep_w = self.dense_gate(x, threshold)
+        skip, tk = x * skip_w, x * keep_w
+        x = self.attn(tk) + tk + skip
+        x = self.norm2(x)
+        skip_w, keep_w = self.moe_gate(x, threshold)
+        skip, tk = x * skip_w, x * keep_w
+        x = self.mlp(tk) + tk + skip
+        return x
+
+
+class OracleResMoEViT(nn.Module):
+    def __init__(self, img_size=32, patch_size=16, dim=192, depth=12,
+                 num_heads=3, mlp_ratio=4.0, num_experts=8, top_k=2,
+                 num_classes=10):
+        super().__init__()
+        self.patch_size = patch_size
+        self.grid = img_size // patch_size
+        self.proj = nn.Linear(patch_size * patch_size * 3, dim)
+        self.cls_token = nn.Parameter(torch.zeros(1, 1, dim))
+        self.pos_embed = nn.Parameter(torch.zeros(1, self.grid ** 2 + 1, dim))
+        self.blocks = nn.ModuleList([
+            OracleResMoEBlock(dim, num_heads, int(dim * mlp_ratio),
+                              num_experts, top_k)
+            for _ in range(depth)
+        ])
+        self.norm = nn.LayerNorm(dim, eps=1e-6)
+        self.head = nn.Linear(dim, num_classes)
+
+    def forward(self, x, threshold: float):
+        # x: (B, H, W, 3) channels-last, same patch-extraction math as the
+        # JAX PatchEmbed (a stride==kernel conv is exactly this reshape+GEMM)
+        B, H, W, C = x.shape
+        p = self.patch_size
+        g = H // p
+        x = x.reshape(B, g, p, g, p, C).permute(0, 1, 3, 2, 4, 5)
+        x = x.reshape(B, g * g, p * p * C)
+        x = self.proj(x)
+        cls = self.cls_token.expand(B, -1, -1)
+        x = torch.cat([cls, x], dim=1) + self.pos_embed
+        for blk in self.blocks:
+            x = blk(x, threshold)
+        x = self.norm(x)
+        return self.head(x[:, 0])
+
+
+def smoothed_ce(logits, targets, smoothing=0.1):
+    """timm LabelSmoothingCrossEntropy."""
+    logp = F.log_softmax(logits, dim=-1)
+    nll = -logp.gather(1, targets[:, None]).squeeze(1)
+    return ((1 - smoothing) * nll - smoothing * logp.mean(dim=-1)).mean()
+
+
+def _t(a):
+    return torch.from_numpy(np.asarray(a, np.float32))
+
+
+def load_from_flax(model: OracleResMoEViT, params: dict):
+    """Transfer this repo's flax resmoe params into the oracle."""
+    sd = {}
+    sd["proj.weight"] = _t(params["patch_embed"]["proj"]["kernel"]).T
+    sd["proj.bias"] = _t(params["patch_embed"]["proj"]["bias"])
+    sd["cls_token"] = _t(params["cls_token"])
+    sd["pos_embed"] = _t(params["pos_embed"])
+    sd["norm.weight"] = _t(params["norm"]["scale"])
+    sd["norm.bias"] = _t(params["norm"]["bias"])
+    sd["head.weight"] = _t(params["head"]["kernel"]).T
+    sd["head.bias"] = _t(params["head"]["bias"])
+    for i in range(len(model.blocks)):
+        b = params[f"blocks_{i}"]
+        pre = f"blocks.{i}."
+        for ln in ("norm1", "norm2"):
+            sd[pre + ln + ".weight"] = _t(b[ln]["scale"])
+            sd[pre + ln + ".bias"] = _t(b[ln]["bias"])
+        sd[pre + "attn.qkv.weight"] = _t(b["attn"]["qkv"]["kernel"]).T
+        sd[pre + "attn.qkv.bias"] = _t(b["attn"]["qkv"]["bias"])
+        sd[pre + "attn.proj.weight"] = _t(b["attn"]["proj"]["kernel"]).T
+        sd[pre + "attn.proj.bias"] = _t(b["attn"]["proj"]["bias"])
+        for g in ("dense_gate", "moe_gate"):
+            sd[pre + g + ".head.weight"] = _t(b[g]["head"]["kernel"]).T
+            sd[pre + g + ".head.bias"] = _t(b[g]["head"]["bias"])
+        m = b["mlp"]
+        sd[pre + "mlp.router.weight"] = _t(m["router_kernel"]).T
+        sd[pre + "mlp.router.bias"] = _t(m["router_bias"])
+        sd[pre + "mlp.w1"] = _t(m["expert_fc1_kernel"])
+        sd[pre + "mlp.b1"] = _t(m["expert_fc1_bias"])
+        sd[pre + "mlp.w2"] = _t(m["expert_fc2_kernel"])
+        sd[pre + "mlp.b2"] = _t(m["expert_fc2_bias"])
+    model.load_state_dict(sd)
+
+
+def make_optimizer(model: OracleResMoEViT, lr: float, gate_lr: float,
+                   weight_decay: float = 0.05):
+    """AdamW with timm's grouping (main.py:619-631): gates get --gate-lr;
+    biases / 1-d params / pos_embed / cls_token get no weight decay."""
+    no_decay, decay, gates = [], [], []
+    for name, p in model.named_parameters():
+        if "gate" in name:
+            gates.append(p)
+        elif p.ndim <= 1 or name in ("pos_embed", "cls_token") or \
+                name.endswith((".b1", ".b2")) or "bias" in name:
+            no_decay.append(p)
+        else:
+            decay.append(p)
+    return torch.optim.AdamW([
+        {"params": decay, "weight_decay": weight_decay},
+        {"params": no_decay, "weight_decay": 0.0},
+        {"params": gates, "weight_decay": 0.0, "lr": gate_lr},
+    ], lr=lr, betas=(0.9, 0.999), eps=1e-8)
+
+
+def train_losses(model: OracleResMoEViT, images: np.ndarray,
+                 labels: np.ndarray, steps: int, lr: float, gate_lr: float,
+                 threshold: float = 0.5, smoothing: float = 0.1):
+    """Run ``steps`` AdamW steps over the fixed batch cycle, return losses."""
+    opt = make_optimizer(model, lr, gate_lr)
+    losses = []
+    nb = images.shape[0]
+    for s in range(steps):
+        x = torch.from_numpy(images[s % nb])
+        y = torch.from_numpy(labels[s % nb])
+        logits = model(x, threshold)
+        loss = smoothed_ce(logits, y, smoothing)
+        opt.zero_grad()
+        loss.backward()
+        opt.step()
+        losses.append(float(loss))
+    return losses
