@@ -35,13 +35,15 @@ def main():
     devices = jax.devices("cpu")[:8]
     mesh = make_mesh(n_data=2, n_expert=4, devices=devices)
 
-    img = 64
-    batch = 32
-    # ViT-B/32-expert is the BASELINE config-5 model; at CPU-emulation scale
-    # we keep its EP structure (32 experts over 4-way expert sharding) on a
-    # small image so the step finishes in seconds.
-    model = create_model("moe_base_patch16_224_expert32", num_classes=1000,
-                         img_size=img, capacity_factor=2.0,
+    img = 32
+    batch = 16
+    # BASELINE config 5 is ViT-B with 32 experts; compiling ViT-B on this
+    # 1-core CPU host exceeds the bench budget (>15 min), so the artifact
+    # keeps the EP-relevant structure — 32 experts, 4-way expert sharding,
+    # capacity dispatch, all_to_all — on the tiny backbone. What is being
+    # validated/timed is the sharded dispatch program, not backbone FLOPs.
+    model = create_model("moe_tiny_patch16_224_expert8", num_classes=1000,
+                         img_size=img, num_experts=32, capacity_factor=2.0,
                          dispatch_mode="capacity", attn_impl="xla")
     probe = create_train_state(model, (1, img, img, 3))
     opt_init, opt_update = optim.make_optimizer(probe.params,
@@ -71,7 +73,7 @@ def main():
         dt = (time.perf_counter() - t0) / K
 
     print(json.dumps({
-        "metric": "ep_train_step_ms_vit_b_32experts_2x4_virtual_cpu_mesh",
+        "metric": "ep_train_step_ms_32experts_2x4_virtual_cpu_mesh",
         "value": round(dt * 1000, 1),
         "unit": "ms/step",
         "vs_baseline": None,

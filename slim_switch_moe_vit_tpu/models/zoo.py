@@ -87,3 +87,59 @@ def deit_base_patch16_384(pretrained=False, **kwargs):
 def deit_base_distilled_patch16_384(pretrained=False, **kwargs):
     kwargs.setdefault("img_size", 384)
     return _vit(distilled=True, embed_dim=768, num_heads=12, **_common_kwargs(kwargs))
+
+
+# ---------------------------------------------------------------------------
+# timm-compat classic ViT registrations (reference:
+# models/vision_transformer.py:1083-1490). The reference registers ~30 timm
+# variants; its training surface never instantiates them, but the names are
+# part of its model registry. The subsets below are every variant whose
+# architecture this backbone expresses AND whose checkpoints the
+# utils/checkpoint.py importers can load (.npz flax / torch .pth). The
+# remaining registrations (hybrid ResNet stems, SAM/DINO URL aliases) are
+# struck from scope: they depend on timm internals + pretrained URLs that are
+# unreachable here — documented divergence, see PARITY.md 2.4.
+# ---------------------------------------------------------------------------
+
+def _register_timm_vits():
+    specs = {
+        "vit_tiny_patch16_224": dict(embed_dim=192, num_heads=3),
+        "vit_tiny_patch16_384": dict(embed_dim=192, num_heads=3, img=384),
+        "vit_small_patch32_224": dict(patch_size=32, embed_dim=384, num_heads=6),
+        "vit_small_patch32_384": dict(patch_size=32, embed_dim=384,
+                                      num_heads=6, img=384),
+        "vit_small_patch16_224": dict(embed_dim=384, num_heads=6),
+        "vit_small_patch16_384": dict(embed_dim=384, num_heads=6, img=384),
+        "vit_base_patch32_224": dict(patch_size=32, embed_dim=768, num_heads=12),
+        "vit_base_patch32_384": dict(patch_size=32, embed_dim=768,
+                                     num_heads=12, img=384),
+        "vit_base_patch16_224": dict(embed_dim=768, num_heads=12),
+        "vit_base_patch16_384": dict(embed_dim=768, num_heads=12, img=384),
+        "vit_base_patch8_224": dict(patch_size=8, embed_dim=768, num_heads=12),
+        "vit_large_patch32_224": dict(patch_size=32, embed_dim=1024,
+                                      num_heads=16, depth=24),
+        "vit_large_patch32_384": dict(patch_size=32, embed_dim=1024,
+                                      num_heads=16, depth=24, img=384),
+        "vit_large_patch16_224": dict(embed_dim=1024, num_heads=16, depth=24),
+        "vit_large_patch16_384": dict(embed_dim=1024, num_heads=16, depth=24,
+                                      img=384),
+        "vit_huge_patch14_224": dict(patch_size=14, embed_dim=1280,
+                                     num_heads=16, depth=32),
+    }
+
+    def make(spec):
+        def ctor(pretrained=False, **kwargs):
+            s = dict(spec)
+            img = s.pop("img", None)
+            if img is not None:
+                kwargs.setdefault("img_size", img)
+            return _vit(**s, **_common_kwargs(kwargs))
+        return ctor
+
+    for name, spec in specs.items():
+        ctor = make(spec)
+        ctor.__name__ = name
+        register_model(ctor)
+
+
+_register_timm_vits()
