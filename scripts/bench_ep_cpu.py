@@ -44,7 +44,8 @@ def main():
     # validated/timed is the sharded dispatch program, not backbone FLOPs.
     model = create_model("moe_tiny_patch16_224_expert8", num_classes=1000,
                          img_size=img, num_experts=32, capacity_factor=2.0,
-                         dispatch_mode="capacity", attn_impl="xla")
+                         dispatch_mode="capacity", attn_impl="xla",
+                         ln_impl="xla")
     probe = create_train_state(model, (1, img, img, 3))
     opt_init, opt_update = optim.make_optimizer(probe.params,
                                                 weight_decay=0.05)

@@ -1,0 +1,189 @@
+"""Diagnose the unified FFN backward kernel's MXU efficiency at the flagship
+shape (Tp=52480, D=384, H=1536, E=8, bf16). Variants isolate which output
+group (dx vs dw) limits the pipeline, and test tile sizes.
+"""
+import functools
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+sys.path.insert(0, "/root/repo")
+from slim_switch_moe_vit_tpu.ops import fused_ffn as ff  # noqa: E402
+
+T, D, H, E = 52480, 384, 1536, 8
+K = 20
+
+
+def timed(name, fn, *args):
+    """Trace-based: report the pallas/gemm kernel's own device time, excluding
+    the scan-carry harness (which costs ~0.7 ms/iter at these sizes)."""
+    from slim_switch_moe_vit_tpu.utils.profiling import trace, summarize_trace
+
+    @jax.jit
+    def run(a0, rest):
+        def body(c, _):
+            out = fn(c, *rest)
+            leaf = jax.tree.leaves(out)[0]
+            return c + leaf.ravel()[0].astype(c.dtype) * jnp.asarray(1e-12, c.dtype), leaf.ravel()[0]
+        c, outs = jax.lax.scan(body, a0, None, length=K)
+        return outs[-1]
+
+    _ = float(run(args[0], args[1:]))
+    t0 = time.perf_counter()
+    _ = float(run(args[0], args[1:]))
+    wall = (time.perf_counter() - t0) / K * 1000
+    import tempfile
+    with tempfile.TemporaryDirectory() as td:
+        with trace(td):
+            _ = float(run(args[0], args[1:]))
+        rows = summarize_trace(td, top=4, steps=K)
+    main_ms = rows[0][0] if rows else float("nan")
+    label = rows[0][2][:40] if rows else ""
+    print(f"{name:34s} {main_ms:8.3f} ms kernel  ({wall:.3f} wall)  [{label}]",
+          flush=True)
+    return main_ms
+
+
+def make_e_of_tile(tile):
+    n_tiles = T // tile
+    per = -(-n_tiles // E)  # ceil: last expert owns the remainder tiles
+    return jnp.asarray(np.repeat(np.arange(E), per)[:n_tiles], jnp.int32)
+
+
+# ---- dx-only kernel: h recompute + dh + dx (3 GEMMs) ----
+def _dx_kernel(e_ref, dy_ref, x_ref, w1_ref, b1_ref, w2_ref, dxp_ref, *,
+               gelu, dgelu):
+    x = x_ref[:]
+    dy = dy_ref[:]
+    h = jnp.dot(x, w1_ref[0], preferred_element_type=jnp.float32)
+    h = h + b1_ref[0, 0].astype(jnp.float32)
+    dyh = jax.lax.dot_general(dy, w2_ref[0], (((1,), (1,)), ((), ())),
+                              preferred_element_type=jnp.float32)
+    dh = (dyh * dgelu(h)).astype(x.dtype)
+    dxp_ref[0] = jax.lax.dot_general(
+        dh, w1_ref[0], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32).astype(dxp_ref.dtype)
+
+
+def dx_only(dy, xs, w1, b1, w2, e_of_tile, tile):
+    n_tiles = T // tile
+    H2 = H // 2
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(2, n_tiles),
+        in_specs=[
+            pl.BlockSpec((tile, D), lambda hh, i, e: (i, 0)),
+            pl.BlockSpec((tile, D), lambda hh, i, e: (i, 0)),
+            pl.BlockSpec((1, D, H2), lambda hh, i, e: (e[i], 0, hh)),
+            pl.BlockSpec((1, 1, H2), lambda hh, i, e: (e[i], 0, hh)),
+            pl.BlockSpec((1, H2, D), lambda hh, i, e: (e[i], hh, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, tile, D), lambda hh, i, e: (hh, i, 0)),
+    )
+    gelu, dgelu = ff._gelu_fns(xs.dtype)
+    return pl.pallas_call(
+        functools.partial(_dx_kernel, gelu=gelu, dgelu=dgelu),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((2, T, D), xs.dtype),
+    )(e_of_tile, dy, xs, w1, b1[:, None], w2)
+
+
+# ---- dw-only kernel: h recompute + dh + dw1 + dw2 (4 GEMMs) ----
+def _dw_kernel(e_ref, dy_ref, x_ref, w1_ref, b1_ref, w2_ref,
+               dw1_ref, dw2_ref, *, gelu, dgelu):
+    i = pl.program_id(1)
+    first = jnp.logical_or(i == 0, e_ref[i] != e_ref[jnp.maximum(i - 1, 0)])
+    x = x_ref[:]
+    dy = dy_ref[:]
+    h = jnp.dot(x, w1_ref[0], preferred_element_type=jnp.float32)
+    h = h + b1_ref[0, 0].astype(jnp.float32)
+    dyh = jax.lax.dot_general(dy, w2_ref[0], (((1,), (1,)), ((), ())),
+                              preferred_element_type=jnp.float32)
+    dhb = (dyh * dgelu(h)).astype(x.dtype)
+    dw1 = jax.lax.dot_general(x, dhb, (((0,), (0,)), ((), ())),
+                              preferred_element_type=jnp.float32)[None]
+    g = gelu(h).astype(x.dtype)
+    dw2 = jax.lax.dot_general(g, dy, (((0,), (0,)), ((), ())),
+                              preferred_element_type=jnp.float32)[None]
+    ff._accumulate(first, [(dw1_ref, dw1), (dw2_ref, dw2)])
+
+
+def dw_only(dy, xs, w1, b1, w2, e_of_tile, tile):
+    n_tiles = T // tile
+    H2 = H // 2
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(2, n_tiles),
+        in_specs=[
+            pl.BlockSpec((tile, D), lambda hh, i, e: (i, 0)),
+            pl.BlockSpec((tile, D), lambda hh, i, e: (i, 0)),
+            pl.BlockSpec((1, D, H2), lambda hh, i, e: (e[i], 0, hh)),
+            pl.BlockSpec((1, 1, H2), lambda hh, i, e: (e[i], 0, hh)),
+            pl.BlockSpec((1, H2, D), lambda hh, i, e: (e[i], hh, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, D, H2), lambda hh, i, e: (e[i], 0, hh)),
+            pl.BlockSpec((1, H2, D), lambda hh, i, e: (e[i], hh, 0)),
+        ],
+    )
+    gelu, dgelu = ff._gelu_fns(xs.dtype)
+    return pl.pallas_call(
+        functools.partial(_dw_kernel, gelu=gelu, dgelu=dgelu),
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((E, D, H), jnp.float32),
+            jax.ShapeDtypeStruct((E, H, D), jnp.float32),
+        ],
+    )(e_of_tile, dy, xs, w1, b1[:, None], w2)
+
+
+def main():
+    rs = np.random.RandomState(0)
+    xs = jnp.asarray(rs.randn(T, D) * 0.05, jnp.bfloat16)
+    dy = jnp.asarray(rs.randn(T, D) * 0.05, jnp.bfloat16)
+    w1 = jnp.asarray(rs.randn(E, D, H) * 0.05, jnp.bfloat16)
+    b1 = jnp.asarray(np.zeros((E, H)), jnp.float32)
+    w2 = jnp.asarray(rs.randn(E, H, D) * 0.05, jnp.bfloat16)
+    b2 = jnp.asarray(np.zeros((E, D)), jnp.float32)
+
+    e256 = make_e_of_tile(256)
+
+    # reference points
+    peak = 197e12
+    g = T * D * H * 2 / peak * 1000
+    print(f"one GEMM at peak: {g:.3f} ms; 5 GEMMs: {5*g:.3f} ms; "
+          f"3: {3*g:.3f}; 4: {4*g:.3f}")
+
+    timed("noop (1 elementwise pass)", lambda x_: x_ * 1.0000001, xs)
+    timed("xla gemm (T,D)@(D,H)",
+          lambda x_, w_: jnp.dot(x_, w_, preferred_element_type=jnp.float32
+                                 ).astype(jnp.bfloat16), xs, w1[0])
+    timed("fwd (2 GEMMs)",
+          lambda x_, *a: ff._fwd(x_, *a), xs, w1, b1, w2, b2, e256)
+    timed("unified bwd (5 GEMMs)",
+          lambda dy_, *a: ff._bwd(dy_, *a)[0], dy, xs, w1, b1, w2, e256)
+    timed("dx-only (3 GEMMs)",
+          lambda dy_, *a: dx_only(dy_, *a, 256), dy, xs, w1, b1, w2, e256)
+    timed("dw-only (4 GEMMs)",
+          lambda dy_, *a: dw_only(dy_, *a, 256), dy, xs, w1, b1, w2, e256)
+
+    # ---- ceiling check: GELU stubbed to identity (measures poly VPU cost)
+    import unittest.mock as mock
+
+    def id_fns(dtype):
+        return (lambda h: h), (lambda h: jnp.ones_like(h))
+
+    with mock.patch.object(ff, "_gelu_fns", id_fns):
+        timed("fwd NO-GELU ceiling",
+              lambda x_, *a: ff._fwd(x_, *a), xs, w1, b1, w2, b2, e256)
+        timed("unified bwd NO-GELU ceiling",
+              lambda dy_, *a: ff._bwd(dy_, *a)[0], dy, xs, w1, b1, w2, e256)
+
+
+if __name__ == "__main__":
+    main()

@@ -63,27 +63,59 @@ class LayerNorm(nn.Module):
 
     Stats are computed in fp32 regardless of the activation dtype — on TPU the
     cast is free relative to the HBM read, and bf16 variance underflows.
+
+    ``residual``: fuse the preceding residual add into the norm — returns
+    ``(u, y) = (x + residual, LN(x + residual))``. With ``impl='fused'`` (or
+    'auto' on TPU) the add+norm chain runs as a single-pass Pallas kernel
+    (``ops/fused_ln.py``); the XLA path computes identical math unfused.
     """
 
     eps: float = 1e-6
     use_scale: bool = True
     use_bias: bool = True
     dtype: Dtype = jnp.float32
+    impl: str = "xla"  # 'xla' | 'fused' | 'auto'
+
+    def _fused_ok(self, x) -> bool:
+        if self.impl == "xla" or not (self.use_scale and self.use_bias):
+            return False
+        from ..ops.fused_ln import supported
+
+        if not supported(x):
+            return False
+        if self.impl == "fused":
+            return True
+        return jax.default_backend() == "tpu"
 
     @nn.compact
-    def __call__(self, x):
-        orig_dtype = x.dtype
-        x32 = x.astype(jnp.float32)
+    def __call__(self, x, residual=None):
+        dim = x.shape[-1]
+        scale = (self.param("scale", nn.initializers.ones, (dim,))
+                 if self.use_scale else None)
+        bias = (self.param("bias", nn.initializers.zeros, (dim,))
+                if self.use_bias else None)
+
+        if self._fused_ok(x):
+            from ..ops.fused_ln import fused_add_ln, fused_ln
+
+            if residual is None:
+                return fused_ln(x, scale, bias, self.eps)
+            return fused_add_ln(x, residual.astype(x.dtype), scale, bias,
+                                self.eps)
+
+        u = x if residual is None else x + residual
+        orig_dtype = u.dtype
+        x32 = u.astype(jnp.float32)
         mean = jnp.mean(x32, axis=-1, keepdims=True)
         d = x32 - mean
         var = jnp.mean(d * d, axis=-1, keepdims=True)
         y = d * jax.lax.rsqrt(var + self.eps)
-        dim = x.shape[-1]
-        if self.use_scale:
-            y = y * self.param("scale", nn.initializers.ones, (dim,))
-        if self.use_bias:
-            y = y + self.param("bias", nn.initializers.zeros, (dim,))
-        return y.astype(orig_dtype)
+        if scale is not None:
+            y = y * scale
+        if bias is not None:
+            y = y + bias
+        y = y.astype(orig_dtype)
+        return y if residual is None else (u, y)
 
 
 class DropPath(nn.Module):

@@ -117,10 +117,11 @@ class Block(nn.Module):
     dtype: Dtype = jnp.float32
     use_flash: bool = False
     attn_impl: str = "auto"
+    ln_impl: str = "auto"
     mlp_factory: typ.Callable = default_mlp_factory
 
     def setup(self):
-        self.norm1 = LayerNorm(name="norm1")
+        self.norm1 = LayerNorm(name="norm1", impl=self.ln_impl)
         self.attn = Attention(
             num_heads=self.num_heads,
             qkv_bias=self.qkv_bias,
@@ -131,7 +132,7 @@ class Block(nn.Module):
             attn_impl=self.attn_impl,
             name="attn",
         )
-        self.norm2 = LayerNorm(name="norm2")
+        self.norm2 = LayerNorm(name="norm2", impl=self.ln_impl)
         self.mlp = self.mlp_factory(self.dim, self.mlp_ratio, self.drop, self.dtype)
         self.drop_path_mod = DropPath(self.drop_path, name="drop_path")
 
@@ -141,6 +142,23 @@ class Block(nn.Module):
         y = self.mlp(self.norm2(x), deterministic=deterministic)
         x = x + self.drop_path_mod(y, deterministic=deterministic)
         return x
+
+    def deferred_call(self, u, pending, deterministic: bool = True):
+        """Residual-deferred block step: the previous branch output
+        (``pending``) has NOT been added to the stream ``u`` yet — the add
+        rides the next LayerNorm as a single fused pass (ops/fused_ln.py).
+        Returns (new_stream, new_pending). Same math as ``__call__``:
+        LN(u+pending) sees exactly the summed stream.
+        """
+        if pending is None:
+            u1, y1 = u, self.norm1(u)
+        else:
+            u1, y1 = self.norm1(u, residual=pending)
+        a = self.attn(y1, deterministic=deterministic)
+        a = self.drop_path_mod(a, deterministic=deterministic)
+        u2, y2 = self.norm2(u1, residual=a)
+        m = self.mlp(y2, deterministic=deterministic)
+        return u2, self.drop_path_mod(m, deterministic=deterministic)
 
 
 class VisionTransformer(nn.Module):
@@ -165,6 +183,7 @@ class VisionTransformer(nn.Module):
     dtype: Dtype = jnp.float32
     use_flash: bool = False
     attn_impl: str = "auto"
+    ln_impl: str = "auto"
     # Factory: (layer_idx, dim, mlp_ratio, drop, dtype) -> nn.Module, or None for dense.
     block_mlp_factory: typ.Optional[typ.Callable] = None
     # Full block replacement: (layer_idx, **block_kwargs) -> nn.Module. Used by the
@@ -222,6 +241,8 @@ class VisionTransformer(nn.Module):
                 attn_impl=self.attn_impl,
                 name=f"blocks_{i}",
             )
+            if self.block_factory is None:
+                block_kwargs["ln_impl"] = self.ln_impl
             if self.block_factory is not None:
                 blocks.append(self.block_factory(i, **block_kwargs))
                 continue
@@ -232,7 +253,7 @@ class VisionTransformer(nn.Module):
                     idx, dim, ratio, drop, dtype))(i)
             blocks.append(Block(mlp_factory=factory, **block_kwargs))
         self.blocks = blocks
-        self.norm = LayerNorm(name="norm")
+        self.norm = LayerNorm(name="norm", impl=self.ln_impl)
         if self.num_classes > 0:
             self.head = Dense(self.num_classes, dtype=jnp.float32, name="head")
             if self.distilled:
@@ -253,8 +274,23 @@ class VisionTransformer(nn.Module):
             x = jnp.concatenate([cls, x], axis=1)
         x = x + self.pos_embed.astype(x.dtype)
         x = self.pos_drop(x, deterministic=deterministic)
+        # Residual-deferred chain: each plain Block leaves its MLP branch
+        # un-added (``pending``); the next block's norm1 (or the final norm)
+        # folds the add into its fused LN pass. Custom blocks (ResMoE,
+        # sparse, …) take the conventional path.
+        pending = None
         for blk in self.blocks:
-            x = blk(x, deterministic=deterministic)
+            if isinstance(blk, Block):
+                x, pending = blk.deferred_call(x, pending,
+                                               deterministic=deterministic)
+            else:
+                if pending is not None:
+                    x = x + pending
+                    pending = None
+                x = blk(x, deterministic=deterministic)
+        if pending is not None:
+            x, xn = self.norm(x, residual=pending)
+            return xn
         x = self.norm(x)
         return x
 

@@ -44,6 +44,8 @@ def _common_kwargs(kwargs):
         out["use_flash"] = kwargs["use_flash"]
     if "attn_impl" in kwargs:
         out["attn_impl"] = kwargs["attn_impl"]
+    if "ln_impl" in kwargs:
+        out["ln_impl"] = kwargs["ln_impl"]
     return out
 
 

@@ -251,11 +251,13 @@ def _mha_bwd_kernel(qkv_ref, do_ref, dqkv_ref, *, num_heads: int,
             dqkv_ref[g, :, 2 * C + h * d:2 * C + (h + 1) * d] = dv.astype(dt)
 
 
-def _samples_per_cell(B: int, nb: int, row_bytes: int) -> int:
-    """Samples per grid cell. Measured on v5e at ViT-S/b128: G=1 is best —
-    the per-(sample, head) chains are already pipelined across grid steps,
-    and G=8 slows the forward ~40% (VMEM pressure eats the double
-    buffering). Kept as a hook for future shapes."""
+def _samples_per_cell(B: int, nb: int, row_bytes: int, bwd: bool = False) -> int:
+    """Samples per grid cell. Measured on v5e at ViT-S/b128: forward is best
+    at G=1 (G=8 slows it ~40% — VMEM pressure eats the double buffering);
+    backward is ~5% faster at G=2 (more independent chains hide the longer
+    MXU/VPU dependency path; scripts/bench_mha_variants.py)."""
+    if bwd and B % 2 == 0:
+        return 2
     return 1
 
 
@@ -296,7 +298,7 @@ def _fused_mha_bwd(num_heads, scale, interpret, qkv, do):
     B, N, C3 = qkv.shape
     C = C3 // 3
     nb = _round_block_n(N)
-    G = _samples_per_cell(B, nb, (2 * C3 + C) * qkv.dtype.itemsize)
+    G = _samples_per_cell(B, nb, (2 * C3 + C) * qkv.dtype.itemsize, bwd=True)
     dqkv = pl.pallas_call(
         functools.partial(_mha_bwd_kernel, num_heads=num_heads, scale=scale,
                           n=N),

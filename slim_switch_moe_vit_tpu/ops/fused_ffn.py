@@ -102,10 +102,36 @@ def _dgelu_poly(h):
     return 0.5 + _odd_poly(_DG11, jnp.clip(h, -5.2, 5.2))
 
 
+# h*phi(h) as an odd Chebyshev-fit poly (max abs err 9.0e-4, |h|<=5.2,
+# ~0 beyond): lets the backward share the CDF term c between gelu and
+# gelu' instead of evaluating two independent long polynomials:
+#   c = Phi(h), gelu = h*c, gelu' = c + h*phi(h)
+_HPHI9 = (0.39536367469384043, -0.19009602427274108, 0.042541909102134345,
+          -0.005613073010076216, 0.00046539339512041304,
+          -2.440916956143716e-05, 7.834568308044984e-07,
+          -1.4010534845605805e-08, 1.0675213458574255e-10)
+
+
+def _gelu_dgelu_poly(h):
+    a = jnp.clip(h, -5.303, 5.303) * (2.0 ** -0.5)
+    c = 0.5 * (1.0 + _odd_poly(_ERF9, a))       # Phi(h)
+    return h * c, c + _odd_poly(_HPHI9, jnp.clip(h, -5.2, 5.2))
+
+
+def _gelu_dgelu_exact(h):
+    return _gelu(h), _dgelu(h)
+
+
 def _gelu_fns(dtype):
     if jnp.dtype(dtype) == jnp.bfloat16:
         return _gelu_poly, _dgelu_poly
     return _gelu, _dgelu
+
+
+def _gelu_pair_fn(dtype):
+    if jnp.dtype(dtype) == jnp.bfloat16:
+        return _gelu_dgelu_poly
+    return _gelu_dgelu_exact
 
 
 def _interpret() -> bool:
@@ -168,18 +194,20 @@ def _accumulate(first, refs_and_vals):
 
 
 def _bwd_kernel(e_ref, dy_ref, x_ref, w1_ref, b1_ref, w2_ref,
-                dxp_ref, dw1_ref, db1_ref, dw2_ref, db2_ref, *, gelu, dgelu):
+                dxp_ref, dw1_ref, db1_ref, dw2_ref, db2_ref, *, gelu_pair):
     i = pl.program_id(1)
     first = jnp.logical_or(i == 0, e_ref[i] != e_ref[jnp.maximum(i - 1, 0)])
     x = x_ref[:]
     dy = dy_ref[:]
     h = jnp.dot(x, w1_ref[0], preferred_element_type=jnp.float32)
     h = h + b1_ref[0, 0].astype(jnp.float32)
+    # g = gelu(h), dg = gelu'(h) — one evaluation sharing the CDF term
+    g32, dg = gelu_pair(h)
     # dh = (dy @ w2h^T) * gelu'(h)   (this hidden half only)
     dyh = jax.lax.dot_general(
         dy, w2_ref[0], (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32)
-    dh = dyh * dgelu(h)
+    dh = dyh * dg
     dhb = dh.astype(x.dtype)
     dxp = jax.lax.dot_general(
         dhb, w1_ref[0], (((1,), (1,)), ((), ())),
@@ -189,7 +217,7 @@ def _bwd_kernel(e_ref, dy_ref, x_ref, w1_ref, b1_ref, w2_ref,
         x, dhb, (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)[None]
     db1 = jnp.sum(dh, axis=0)[None, None]
-    g = gelu(h).astype(x.dtype)
+    g = g32.astype(x.dtype)
     dw2 = jax.lax.dot_general(  # g^T @ dy -> (H2, D)
         g, dy, (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)[None]
@@ -229,9 +257,8 @@ def _bwd(dy, xs, w1, b1, w2, e_of_tile):
             pl.BlockSpec((1, 1, 1, D), lambda hh, i, e: (hh, e[i], 0, 0)),
         ],
     )
-    gelu, dgelu = _gelu_fns(xs.dtype)
     dxp, dw1, db1, dw2, db2 = pl.pallas_call(
-        functools.partial(_bwd_kernel, gelu=gelu, dgelu=dgelu),
+        functools.partial(_bwd_kernel, gelu_pair=_gelu_pair_fn(xs.dtype)),
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((2, Tp, D), xs.dtype),
