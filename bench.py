@@ -39,7 +39,7 @@ def _roofline_train_ips(fwd_flops_per_image: float) -> float:
     return PEAK / (3.0 * fwd_flops_per_image)
 
 
-def _measure_train(name, batch=128, img=224, K=20, reps=3, **model_kwargs):
+def _measure_train(name, batch=128, img=224, K=40, reps=3, **model_kwargs):
     from slim_switch_moe_vit_tpu import create_model, losses, optim
     from slim_switch_moe_vit_tpu.engine import make_train_step
     from slim_switch_moe_vit_tpu.train_state import create_train_state
@@ -81,7 +81,7 @@ def _measure_train(name, batch=128, img=224, K=20, reps=3, **model_kwargs):
     return batch * K / min(times)
 
 
-def _measure_eval(name, batch=256, img=224, K=20, reps=3):
+def _measure_eval(name, batch=256, img=224, K=40, reps=3):
     from slim_switch_moe_vit_tpu import create_model
     from slim_switch_moe_vit_tpu.train_state import create_train_state
 

@@ -193,12 +193,18 @@ def _accumulate(first, refs_and_vals):
             ref[:] = ref[:] + val
 
 
-def _bwd_kernel(e_ref, dy_ref, x_ref, w1_ref, b1_ref, w2_ref,
-                dxp_ref, dw1_ref, db1_ref, dw2_ref, db2_ref, *, gelu_pair):
+def _bwd_kernel(e_ref, dy_ref, x_ref, w1_ref, b1_ref, w2_ref, ws_ref,
+                dxp_ref, dw1_ref, db1_ref, dw2_ref, db2_ref, *, gelu_pair,
+                has_scale):
     i = pl.program_id(1)
     first = jnp.logical_or(i == 0, e_ref[i] != e_ref[jnp.maximum(i - 1, 0)])
     x = x_ref[:]
     dy = dy_ref[:]
+    if has_scale:
+        # per-row combine weight folded in here (zero at padding slots) —
+        # saves the standalone (Tp, D) select-multiply pass the combine VJP
+        # would otherwise emit
+        dy = dy * ws_ref[:].astype(dy.dtype)
     h = jnp.dot(x, w1_ref[0], preferred_element_type=jnp.float32)
     h = h + b1_ref[0, 0].astype(jnp.float32)
     # g = gelu(h), dg = gelu'(h) — one evaluation sharing the CDF term
@@ -226,18 +232,27 @@ def _bwd_kernel(e_ref, dy_ref, x_ref, w1_ref, b1_ref, w2_ref,
                         (db2_ref, db2)])
 
 
-def _bwd(dy, xs, w1, b1, w2, e_of_tile):
+def _bwd(dy, xs, w1, b1, w2, e_of_tile, dy_scale=None):
     """dx (as 2 half-hidden partials), dw1, db1, dw2, db2 in one pallas_call.
 
     Grid (2, n_tiles): the outer dim picks a hidden half, the inner streams
     row tiles; each (expert, half) dw window is visited by a consecutive tile
     run, accumulating in VMEM f32 and flushing once. db2 does not depend on
     the hidden half, so it is written per-half and the caller keeps half 0.
+    ``dy_scale``: optional (Tp,) per-row factor multiplied into dy in-kernel.
     """
     Tp, D = xs.shape
     E, _, H = w1.shape
     H2 = H // 2
     n_tiles = Tp // TILE_ROWS
+    has_scale = dy_scale is not None
+    # f32 column vector (Tp, 1), block (TILE_ROWS, 1): the obvious
+    # lane-major (1, 1, TILE_ROWS) bf16 block crashes the Mosaic compiler
+    ws2d = (dy_scale.astype(jnp.float32)[:, None] if has_scale
+            else jnp.zeros((8, 1), jnp.float32))
+    ws_spec = (pl.BlockSpec((TILE_ROWS, 1), lambda hh, i, e: (i, 0))
+               if has_scale
+               else pl.BlockSpec((8, 1), lambda hh, i, e: (0, 0)))
     row_d = pl.BlockSpec((1, TILE_ROWS, D), lambda hh, i, e: (hh, i, 0))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -248,6 +263,7 @@ def _bwd(dy, xs, w1, b1, w2, e_of_tile):
             pl.BlockSpec((1, D, H2), lambda hh, i, e: (e[i], 0, hh)),
             pl.BlockSpec((1, 1, H2), lambda hh, i, e: (e[i], 0, hh)),
             pl.BlockSpec((1, H2, D), lambda hh, i, e: (e[i], hh, 0)),
+            ws_spec,
         ],
         out_specs=[
             row_d,                                                   # dx part
@@ -258,7 +274,8 @@ def _bwd(dy, xs, w1, b1, w2, e_of_tile):
         ],
     )
     dxp, dw1, db1, dw2, db2 = pl.pallas_call(
-        functools.partial(_bwd_kernel, gelu_pair=_gelu_pair_fn(xs.dtype)),
+        functools.partial(_bwd_kernel, gelu_pair=_gelu_pair_fn(xs.dtype),
+                          has_scale=has_scale),
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((2, Tp, D), xs.dtype),
@@ -268,7 +285,7 @@ def _bwd(dy, xs, w1, b1, w2, e_of_tile):
             jax.ShapeDtypeStruct((2, E, 1, D), jnp.float32),
         ],
         interpret=_interpret(),
-    )(e_of_tile, dy, xs, w1, b1[:, None], w2)
+    )(e_of_tile, dy, xs, w1, b1[:, None], w2, ws2d)
     dx = dxp[0] + dxp[1]  # XLA fuses this add into the consumer
     return dx, dw1, db1[:, 0], dw2, db2[0, :, 0]
 
@@ -278,7 +295,7 @@ def _bwd(dy, xs, w1, b1, w2, e_of_tile):
 # ---------------------------------------------------------------------------
 
 @jax.custom_vjp
-def fused_expert_ffn(xs, w1, b1, w2, b2, e_of_tile):
+def fused_expert_ffn(xs, w1, b1, w2, b2, e_of_tile, dy_scale=None):
     """fc2(GELU(fc1(xs))) with per-tile expert weights.
 
     Args:
@@ -286,24 +303,29 @@ def fused_expert_ffn(xs, w1, b1, w2, b2, e_of_tile):
             Tp a multiple of 128.
         w1/b1/w2/b2: (E, D, H) / (E, H) / (E, H, D) / (E, D).
         e_of_tile: (Tp // 128,) int32 — owning expert of each row tile.
+        dy_scale: optional (Tp,) non-differentiable per-row factor applied to
+            the incoming cotangent in backward (the combine weights, 0 at
+            padding slots) — lets the combine VJP hand over a raw row gather.
     Returns:
         (Tp, D) in xs.dtype.
     """
     return _fwd(xs, w1, b1, w2, b2, e_of_tile)
 
 
-def _ffn_fwd(xs, w1, b1, w2, b2, e_of_tile):
+def _ffn_fwd(xs, w1, b1, w2, b2, e_of_tile, dy_scale=None):
     y = _fwd(xs, w1, b1, w2, b2, e_of_tile)
-    return y, (xs, w1, b1, w2, e_of_tile)
+    return y, (xs, w1, b1, w2, e_of_tile, dy_scale)
 
 
 def _ffn_bwd(res, dy):
-    xs, w1, b1, w2, e_of_tile = res
+    xs, w1, b1, w2, e_of_tile, dy_scale = res
     dy = dy.astype(xs.dtype)
-    dx, dw1, db1, dw2, db2 = _bwd(dy, xs, w1, b1, w2, e_of_tile)
+    dx, dw1, db1, dw2, db2 = _bwd(dy, xs, w1, b1, w2, e_of_tile,
+                                  dy_scale=dy_scale)
     de = np.zeros(e_of_tile.shape, dtype=jax.dtypes.float0)
+    ds = None if dy_scale is None else jnp.zeros_like(dy_scale)
     return (dx, dw1.astype(w1.dtype), db1.astype(b1.dtype),
-            dw2.astype(w2.dtype), db2.astype(b1.dtype), de)
+            dw2.astype(w2.dtype), db2.astype(b1.dtype), de, ds)
 
 
 fused_expert_ffn.defvjp(_ffn_fwd, _ffn_bwd)

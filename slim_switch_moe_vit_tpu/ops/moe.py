@@ -420,11 +420,14 @@ def _combine_slots(out, pair_slot, gate_w, gather_idx, w_slot):
     scatter-adds into the (Tp, d) buffer (~0.7 ms each). Because slots are
     unique and gather_idx inverts them, d_out is instead ONE row gather:
     d_out[s] = dy[gather_idx[s]] * w_slot[s] (w_slot is 0 at padding slots,
-    built by the packed layout scatter). ``out`` itself is the residual
-    (already materialized), so the forward saves nothing extra; d_gate
-    re-gathers out rows in backward — as wide (T, d) row gathers; deriving it
-    from per-slot rowsums needs 1-D element gathers, which cost ~10x wide
-    row access on TPU (profiled).
+    built by the packed layout scatter). XLA fuses the multiply into the
+    gather — handing the scale to the FFN kernel instead (its ``dy_scale``
+    input) measured 2.5 ms/step SLOWER at ViT-S/b128 (the raw gather then
+    lowers as gather + a separate broadcast-select pass). ``out`` itself is
+    the residual (already materialized), so the forward saves nothing extra;
+    d_gate re-gathers out rows in backward — as wide (T, d) row gathers;
+    deriving it from per-slot rowsums needs 1-D element gathers, which cost
+    ~10x wide row access on TPU (profiled).
     """
     y = None
     for kk in range(pair_slot.shape[1]):
