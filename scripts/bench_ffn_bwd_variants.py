@@ -142,6 +142,106 @@ def dw_only(dy, xs, w1, b1, w2, e_of_tile, tile):
     )(e_of_tile, dy, xs, w1, b1[:, None], w2)
 
 
+# ---- i-major unified bwd: grid (n_tiles, 2) — x/dy loaded once per tile,
+# dx accumulated in VMEM across the two hidden halves (no partials add),
+# dw blocks span FULL H (indexed by expert only) with half-slice writes ----
+def _bwd_kernel_imajor(e_ref, dy_ref, x_ref, w1_ref, b1_ref, w2_ref,
+                       dx_ref, dw1_ref, db1_ref, dw2_ref, db2_ref, *,
+                       gelu_pair, H2):
+    i = pl.program_id(0)
+    hh = pl.program_id(1)
+    first_tile = jnp.logical_or(i == 0,
+                                e_ref[i] != e_ref[jnp.maximum(i - 1, 0)])
+    x = x_ref[:]
+    dy = dy_ref[:]
+    h = jnp.dot(x, w1_ref[0], preferred_element_type=jnp.float32)
+    h = h + b1_ref[0, 0].astype(jnp.float32)
+    g32, dg = gelu_pair(h)
+    dyh = jax.lax.dot_general(dy, w2_ref[0], (((1,), (1,)), ((), ())),
+                              preferred_element_type=jnp.float32)
+    dh = dyh * dg
+    dhb = dh.astype(x.dtype)
+    dxp = jax.lax.dot_general(dhb, w1_ref[0], (((1,), (1,)), ((), ())),
+                              preferred_element_type=jnp.float32)
+
+    @pl.when(hh == 0)
+    def _():
+        dx_ref[:] = dxp.astype(dx_ref.dtype)
+
+    @pl.when(hh == 1)
+    def _():
+        dx_ref[:] = dx_ref[:] + dxp.astype(dx_ref.dtype)
+
+    dw1 = jax.lax.dot_general(x, dhb, (((0,), (0,)), ((), ())),
+                              preferred_element_type=jnp.float32)[None]
+    db1 = jnp.sum(dh, axis=0)[None, None]
+    g = g32.astype(x.dtype)
+    dw2 = jax.lax.dot_general(g, dy, (((0,), (0,)), ((), ())),
+                              preferred_element_type=jnp.float32)[None]
+
+    first = first_tile
+    for half in range(2):  # static slices: dynamic pl.ds crashes Mosaic here
+        sl = slice(half * H2, (half + 1) * H2)
+
+        @pl.when(jnp.logical_and(hh == half, first))
+        def _(sl=sl):
+            dw1_ref[0, :, sl] = dw1[0]
+            db1_ref[0, 0, sl] = db1[0, 0]
+            dw2_ref[0, sl, :] = dw2[0]
+
+        @pl.when(jnp.logical_and(hh == half, jnp.logical_not(first)))
+        def _(sl=sl):
+            dw1_ref[0, :, sl] = dw1_ref[0, :, sl] + dw1[0]
+            db1_ref[0, 0, sl] = db1_ref[0, 0, sl] + db1[0, 0]
+            dw2_ref[0, sl, :] = dw2_ref[0, sl, :] + dw2[0]
+
+    db2 = jnp.sum(dy.astype(jnp.float32), axis=0)[None, None]
+    first2 = jnp.logical_and(first, hh == 0)
+
+    @pl.when(first2)
+    def _():
+        db2_ref[:] = db2
+
+    @pl.when(jnp.logical_and(jnp.logical_not(first2), hh == 0))
+    def _():
+        db2_ref[:] = db2_ref[:] + db2
+
+
+def bwd_imajor(dy, xs, w1, b1, w2, e_of_tile, tile):
+    n_tiles = T // tile
+    H2 = H // 2
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_tiles, 2),
+        in_specs=[
+            pl.BlockSpec((tile, D), lambda i, hh, e: (i, 0)),
+            pl.BlockSpec((tile, D), lambda i, hh, e: (i, 0)),
+            pl.BlockSpec((1, D, H2), lambda i, hh, e: (e[i], 0, hh)),
+            pl.BlockSpec((1, 1, H2), lambda i, hh, e: (e[i], 0, hh)),
+            pl.BlockSpec((1, H2, D), lambda i, hh, e: (e[i], hh, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((tile, D), lambda i, hh, e: (i, 0)),
+            pl.BlockSpec((1, D, H), lambda i, hh, e: (e[i], 0, 0)),
+            pl.BlockSpec((1, 1, H), lambda i, hh, e: (e[i], 0, 0)),
+            pl.BlockSpec((1, H, D), lambda i, hh, e: (e[i], 0, 0)),
+            pl.BlockSpec((1, 1, D), lambda i, hh, e: (e[i], 0, 0)),
+        ],
+    )
+    gelu_pair = ff._gelu_pair_fn(xs.dtype)
+    return pl.pallas_call(
+        functools.partial(_bwd_kernel_imajor, gelu_pair=gelu_pair, H2=H2),
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((T, D), xs.dtype),
+            jax.ShapeDtypeStruct((E, D, H), jnp.float32),
+            jax.ShapeDtypeStruct((E, 1, H), jnp.float32),
+            jax.ShapeDtypeStruct((E, H, D), jnp.float32),
+            jax.ShapeDtypeStruct((E, 1, D), jnp.float32),
+        ],
+    )(e_of_tile, dy, xs, w1, b1[:, None], w2)
+
+
 def main():
     rs = np.random.RandomState(0)
     xs = jnp.asarray(rs.randn(T, D) * 0.05, jnp.bfloat16)
@@ -171,6 +271,17 @@ def main():
           lambda dy_, *a: dx_only(dy_, *a, 256), dy, xs, w1, b1, w2, e256)
     timed("dw-only (4 GEMMs)",
           lambda dy_, *a: dw_only(dy_, *a, 256), dy, xs, w1, b1, w2, e256)
+
+    # correctness of the i-major variant vs the production kernel
+    ref = ff._bwd(dy, xs, w1, b1, w2, e256)
+    im = bwd_imajor(dy, xs, w1, b1, w2, e256, 256)
+    for a, b, nm in [(im[0], ref[0], "dx"), (im[1], ref[1], "dw1"),
+                     (im[3], ref[3], "dw2")]:
+        d = float(jnp.max(jnp.abs(a.astype(jnp.float32) -
+                                  b.astype(jnp.float32))))
+        print(f"imajor {nm} max diff: {d:.3e}")
+    timed("bwd i-major (full-H dw)",
+          lambda dy_, *a: bwd_imajor(dy_, *a, 256), dy, xs, w1, b1, w2, e256)
 
     # ---- ceiling check: GELU stubbed to identity (measures poly VPU cost)
     import unittest.mock as mock

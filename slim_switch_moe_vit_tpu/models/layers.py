@@ -88,7 +88,11 @@ class LayerNorm(nn.Module):
         return jax.default_backend() == "tpu"
 
     @nn.compact
-    def __call__(self, x, residual=None):
+    def __call__(self, x, residual=None, emit_sum: bool = True):
+        """``residual``: fold the preceding add into the norm. With
+        ``emit_sum`` the call returns ``(x + residual, LN(x + residual))``;
+        without it only the normalized value (for norm-through-residual
+        wiring, where the raw sum is never read again)."""
         dim = x.shape[-1]
         scale = (self.param("scale", nn.initializers.ones, (dim,))
                  if self.use_scale else None)
@@ -96,11 +100,14 @@ class LayerNorm(nn.Module):
                 if self.use_bias else None)
 
         if self._fused_ok(x):
-            from ..ops.fused_ln import fused_add_ln, fused_ln
+            from ..ops.fused_ln import fused_add_ln, fused_ln, fused_sum_ln
 
             if residual is None:
                 return fused_ln(x, scale, bias, self.eps)
-            return fused_add_ln(x, residual.astype(x.dtype), scale, bias,
+            if emit_sum:
+                return fused_add_ln(x, residual.astype(x.dtype), scale, bias,
+                                    self.eps)
+            return fused_sum_ln(x, residual.astype(x.dtype), scale, bias,
                                 self.eps)
 
         u = x if residual is None else x + residual
@@ -115,7 +122,9 @@ class LayerNorm(nn.Module):
         if bias is not None:
             y = y + bias
         y = y.astype(orig_dtype)
-        return y if residual is None else (u, y)
+        if residual is None or not emit_sum:
+            return y
+        return u, y
 
 
 class DropPath(nn.Module):

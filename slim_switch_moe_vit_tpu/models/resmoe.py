@@ -50,6 +50,7 @@ class ResMoEBlock(nn.Module):
     dtype: Dtype = jnp.float32
     use_flash: bool = False
     attn_impl: str = "auto"
+    ln_impl: str = "auto"
     # MoE config
     num_experts: int = 8
     top_k: int = 2
@@ -70,14 +71,14 @@ class ResMoEBlock(nn.Module):
     token_capacity: float = 1.0
 
     def setup(self):
-        self.norm1 = LayerNorm(name="norm1")
+        self.norm1 = LayerNorm(name="norm1", impl=self.ln_impl)
         self.attn = Attention(
             num_heads=self.num_heads, qkv_bias=self.qkv_bias,
             attn_drop=self.attn_drop, proj_drop=self.drop,
             dtype=self.dtype, use_flash=self.use_flash,
             attn_impl=self.attn_impl, name="attn",
         )
-        self.norm2 = LayerNorm(name="norm2")
+        self.norm2 = LayerNorm(name="norm2", impl=self.ln_impl)
         self.mlp = MoEMlp(
             num_experts=self.num_experts, top_k=self.top_k,
             hidden_features=int(self.dim * self.mlp_ratio), drop=self.drop,
@@ -117,33 +118,42 @@ class ResMoEBlock(nn.Module):
         in_sel = jnp.zeros((B, N), bool).at[batch_idx, sel].set(True)
         return out * keep_w.astype(x.dtype) * in_sel[..., None].astype(x.dtype)
 
+    def _gated_sub_block(self, xn, gate, fn, deterministic):
+        """Gate ``xn``, run ``fn`` on the kept tokens, return
+        (branch = drop_path(fn(tk)), passthrough = tk + skip). The block
+        output is their sum (reference resMoE.py:132-143)."""
+        mask = gate(xn, deterministic=deterministic)
+        skip = xn * mask[..., 0:1].astype(xn.dtype)
+        tk = xn * mask[..., 1:2].astype(xn.dtype)
+        if self.mode == "compact":
+            y = self._compact_apply(fn, xn, mask[..., 1:2], deterministic)
+        else:
+            y = fn(tk)
+        return self.drop_path_mod(y, deterministic=deterministic), tk + skip
+
     def __call__(self, x, deterministic: bool = True):
-        compact = self.mode == "compact"
+        y, s = self.deferred_call(x, None, deterministic=deterministic)
+        return y + s
 
-        x = self.norm1(x)
-        mask = self.dense_gate(x, deterministic=deterministic)
-        skip = x * mask[..., 0:1].astype(x.dtype)
-        tk = x * mask[..., 1:2].astype(x.dtype)
-        if compact:
-            y = self._compact_apply(
-                lambda s: self.attn(s, deterministic=deterministic),
-                x, mask[..., 1:2], deterministic)
+    def deferred_call(self, u, pending, deterministic: bool = True):
+        """Residual-deferred form: the previous branch (``pending``) is added
+        inside norm1's fused pass. The raw sums are never read again — the
+        reference norms straight through the residual (resMoE.py:127,136) —
+        so both norms use the slim (no-sum) kernel. Returns the MoE branch
+        and its passthrough un-added."""
+        if pending is None:
+            xn = self.norm1(u)
         else:
-            y = self.attn(tk, deterministic=deterministic)
-        x = self.drop_path_mod(y, deterministic=deterministic) + tk + skip
-
-        x = self.norm2(x)
-        mask = self.moe_gate(x, deterministic=deterministic)
-        skip = x * mask[..., 0:1].astype(x.dtype)
-        tk = x * mask[..., 1:2].astype(x.dtype)
-        if compact:
-            y = self._compact_apply(
-                lambda s: self.mlp(s, deterministic=deterministic),
-                x, mask[..., 1:2], deterministic)
-        else:
-            y = self.mlp(tk, deterministic=deterministic)
-        x = self.drop_path_mod(y, deterministic=deterministic) + tk + skip
-        return x
+            xn = self.norm1(u, residual=pending, emit_sum=False)
+        y, s = self._gated_sub_block(
+            xn, self.dense_gate,
+            lambda t: self.attn(t, deterministic=deterministic),
+            deterministic)
+        xn2 = self.norm2(y, residual=s, emit_sum=False)
+        return self._gated_sub_block(
+            xn2, self.moe_gate,
+            lambda t: self.mlp(t, deterministic=deterministic),
+            deterministic)
 
 
 def _moe_kwargs(kwargs):

@@ -342,6 +342,7 @@ def sparse_deit_tiny_patch16_224(pretrained=False, head_search=False,
     def block_factory(i, **bk):
         bk.pop("use_flash", None)
         bk.pop("attn_impl", None)  # SparseAttention has its own attention path
+        bk.pop("ln_impl", None)    # SparseBlock keeps plain norms
         return SparseBlock(num_patches=n_patches, head_search=head_search,
                            uniform_search=uniform_search, **bk)
 

@@ -239,10 +239,9 @@ class VisionTransformer(nn.Module):
                 dtype=self.dtype,
                 use_flash=self.use_flash,
                 attn_impl=self.attn_impl,
+                ln_impl=self.ln_impl,
                 name=f"blocks_{i}",
             )
-            if self.block_factory is None:
-                block_kwargs["ln_impl"] = self.ln_impl
             if self.block_factory is not None:
                 blocks.append(self.block_factory(i, **block_kwargs))
                 continue
@@ -274,13 +273,13 @@ class VisionTransformer(nn.Module):
             x = jnp.concatenate([cls, x], axis=1)
         x = x + self.pos_embed.astype(x.dtype)
         x = self.pos_drop(x, deterministic=deterministic)
-        # Residual-deferred chain: each plain Block leaves its MLP branch
-        # un-added (``pending``); the next block's norm1 (or the final norm)
-        # folds the add into its fused LN pass. Custom blocks (ResMoE,
-        # sparse, …) take the conventional path.
+        # Residual-deferred chain: each deferred-capable block leaves its
+        # final branch un-added (``pending``); the next block's norm1 (or the
+        # final norm) folds the add into its fused LN pass. Blocks without a
+        # ``deferred_call`` take the conventional path.
         pending = None
         for blk in self.blocks:
-            if isinstance(blk, Block):
+            if hasattr(blk, "deferred_call"):
                 x, pending = blk.deferred_call(x, pending,
                                                deterministic=deterministic)
             else:
@@ -289,8 +288,8 @@ class VisionTransformer(nn.Module):
                     pending = None
                 x = blk(x, deterministic=deterministic)
         if pending is not None:
-            x, xn = self.norm(x, residual=pending)
-            return xn
+            # the raw sum is never read again -> slim (no-sum) kernel
+            return self.norm(x, residual=pending, emit_sum=False)
         x = self.norm(x)
         return x
 

@@ -228,6 +228,90 @@ def _ln_bwd(eps, res, dy):
 fused_ln.defvjp(_ln_fwd, _ln_bwd)
 
 
+# ---------------------------------------------------------------------------
+# slim variant: y = LN(a + b) with the sum NOT emitted (the ResMoE blocks and
+# the final norm never read the raw sum — reference resMoE.py:126-145 norms
+# straight through the residual). Backward recomputes the sum from (a, b).
+# ---------------------------------------------------------------------------
+
+def _fwd_kernel_slim(a_ref, b_ref, g_ref, b2_ref, y_ref, *, eps):
+    y_ref[:] = _ln_core(a_ref[:] + b_ref[:], g_ref, b2_ref,
+                        eps).astype(y_ref.dtype)
+
+
+def _bwd_kernel_slim(a_ref, b_ref, dy_ref, g_ref, du_ref, dg_ref, db_ref, *,
+                     eps):
+    i = pl.program_id(0)
+    u32 = (a_ref[:] + b_ref[:]).astype(jnp.float32)
+    dy = dy_ref[:].astype(jnp.float32)
+    mean = jnp.mean(u32, axis=-1, keepdims=True)
+    d = u32 - mean
+    var = jnp.mean(d * d, axis=-1, keepdims=True)
+    rstd = jax.lax.rsqrt(var + eps)
+    xhat = d * rstd
+    dyg = dy * g_ref[0].astype(jnp.float32)
+    m1 = jnp.mean(dyg, axis=-1, keepdims=True)
+    m2 = jnp.mean(dyg * xhat, axis=-1, keepdims=True)
+    du = (dyg - m1 - xhat * m2) * rstd
+    du_ref[:] = du.astype(du_ref.dtype)
+    axes = _col_axes(dy.ndim)
+    dg = jnp.sum(dy * xhat, axis=axes)[None]
+    db = jnp.sum(dy, axis=axes)[None]
+
+    @pl.when(i == 0)
+    def _():
+        dg_ref[:] = dg
+        db_ref[:] = db
+
+    @pl.when(i != 0)
+    def _():
+        dg_ref[:] = dg_ref[:] + dg
+        db_ref[:] = db_ref[:] + db
+
+
+def _slim_fwd_impl(a, b, gamma, beta, eps):
+    grid, row_spec, vec_spec = _specs(a.shape)
+    return pl.pallas_call(
+        functools.partial(_fwd_kernel_slim, eps=eps),
+        grid=grid,
+        in_specs=[row_spec, row_spec, vec_spec, vec_spec],
+        out_specs=row_spec,
+        out_shape=jax.ShapeDtypeStruct(a.shape, a.dtype),
+        interpret=_interpret(),
+    )(a, b, gamma[None], beta[None])
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
+def fused_sum_ln(a, b, gamma, beta, eps: float = 1e-6):
+    """y = LayerNorm(a + b) * gamma + beta; the sum itself is never
+    materialized in HBM (backward recomputes it from the saved addends)."""
+    return _slim_fwd_impl(a, b, gamma, beta, eps)
+
+
+def _sum_ln_fwd(a, b, gamma, beta, eps):
+    return _slim_fwd_impl(a, b, gamma, beta, eps), (a, b, gamma)
+
+
+def _sum_ln_bwd(eps, res, dy):
+    a, b, gamma = res
+    D = a.shape[-1]
+    grid, row_spec, vec_spec = _specs(a.shape)
+    du, dg, db = pl.pallas_call(
+        functools.partial(_bwd_kernel_slim, eps=eps),
+        grid=grid,
+        in_specs=[row_spec, row_spec, row_spec, vec_spec],
+        out_specs=[row_spec, vec_spec, vec_spec],
+        out_shape=[jax.ShapeDtypeStruct(a.shape, a.dtype),
+                   jax.ShapeDtypeStruct((1, D), jnp.float32),
+                   jax.ShapeDtypeStruct((1, D), jnp.float32)],
+        interpret=_interpret(),
+    )(a, b, dy.astype(a.dtype), gamma[None])
+    return du, du, dg[0], db[0]
+
+
+fused_sum_ln.defvjp(_sum_ln_fwd, _sum_ln_bwd)
+
+
 def reference_add_ln(x, r, gamma, beta, eps: float = 1e-6):
     """Unfused oracle (same math as models.layers.LayerNorm) for tests."""
     u = x + r if r is not None else x

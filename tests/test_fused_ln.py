@@ -118,3 +118,61 @@ def test_vit_deferred_chain_matches_plain_blocks():
         np.testing.assert_allclose(
             np.asarray(flat_f[jax.tree_util.keystr(k)]), np.asarray(v),
             atol=5e-3, err_msg=jax.tree_util.keystr(k))
+
+
+def test_fused_sum_ln_matches_oracle_with_grads():
+    rs = np.random.RandomState(5)
+    a = jnp.asarray(rs.randn(4, 24, 128), jnp.float32)
+    b = jnp.asarray(rs.randn(4, 24, 128), jnp.float32)
+    g = jnp.asarray(rs.randn(128) * 0.1 + 1.0, jnp.float32)
+    be = jnp.asarray(rs.randn(128) * 0.1, jnp.float32)
+    wy = jnp.asarray(rs.randn(4, 24, 128), jnp.float32)
+
+    y = fl.fused_sum_ln(a, b, g, be)
+    _, y_ref = fl.reference_add_ln(a, b, g, be)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref), atol=1e-5)
+
+    got = jax.grad(lambda *args: jnp.sum(fl.fused_sum_ln(*args) * wy),
+                   argnums=(0, 1, 2, 3))(a, b, g, be)
+    want = jax.grad(
+        lambda *args: jnp.sum(fl.reference_add_ln(*args)[1] * wy),
+        argnums=(0, 1, 2, 3))(a, b, g, be)
+    for x, e in zip(got, want):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(e), atol=2e-4)
+
+
+def test_resmoe_deferred_chain_matches_plain():
+    """ResMoE model with fused (interpret) norms == plain XLA path, fwd+grad."""
+    from slim_switch_moe_vit_tpu import create_model
+
+    rs = np.random.RandomState(6)
+    x = jnp.asarray(rs.randn(4, 32, 32, 3), jnp.float32)
+    kw = dict(num_classes=5, img_size=32, attn_impl="xla",
+              dispatch_mode="ragged")
+    m_x = create_model("resmoe_tiny_patch16_224_expert8", ln_impl="xla", **kw)
+    m_f = create_model("resmoe_tiny_patch16_224_expert8", ln_impl="fused", **kw)
+    variables = m_x.init({"params": jax.random.PRNGKey(0),
+                          "dropout": jax.random.PRNGKey(1)}, x,
+                         deterministic=True)
+
+    out_x = m_x.apply(variables, x, deterministic=True)
+    out_f = m_f.apply(variables, x, deterministic=True)
+    np.testing.assert_allclose(np.asarray(out_f), np.asarray(out_x),
+                               atol=2e-4)
+
+    def loss(m):
+        def f(params):
+            out, _ = m.apply(
+                {"params": params, "gates": variables["gates"]}, x,
+                deterministic=True, mutable=["moe_metrics"])
+            return jnp.sum(out ** 2)
+        return f
+
+    g_x = jax.grad(loss(m_x))(variables["params"])
+    g_f = jax.grad(loss(m_f))(variables["params"])
+    for (k, vx), vf in zip(
+            jax.tree_util.tree_leaves_with_path(g_x),
+            jax.tree_util.tree_leaves(g_f)):
+        np.testing.assert_allclose(np.asarray(vf), np.asarray(vx),
+                                   atol=5e-3,
+                                   err_msg=jax.tree_util.keystr(k))
