@@ -149,9 +149,11 @@ def main():
             print(f"# cfg3 failed: {e}", file=sys.stderr)
 
         # cfg4: capacity-factor dispatch with real token dropping
+        # (capacity_fused = counting-sort layout + fused FFN kernel; output-
+        # identical to the scatter-based 'capacity' EP path — tested)
         try:
             ips = _measure_train("moe_small_patch16_224_expert8",
-                                 dispatch_mode="capacity",
+                                 dispatch_mode="capacity_fused",
                                  capacity_factor=1.25)
             _emit("train_images_per_sec_moe_small_8e_capacity1.25_b128", ips,
                   "images/sec", 0.9 * _roofline_train_ips(fwd_small_moe))

@@ -49,14 +49,14 @@ def main():
     def routing(x):
         logits = jnp.dot(x.astype(jnp.float32), router_w) + router_b
         gate_w, eidx = moe_ops.naive_topk_gate(logits, k)
-        gi, ps, et = moe_ops.aligned_expert_layout(eidx, E)
+        gi, ps, et, _, _ = moe_ops.aligned_expert_layout(eidx, E)
         return gi.astype(jnp.float32).sum() + ps.astype(jnp.float32).sum() + gate_w.sum()
 
     timed("routing+layout (fwd)", routing, x)
 
     # fixed layout for isolation
     eidx = jnp.asarray(rs.randint(0, E, (T, k)), jnp.int32)
-    gi, ps, et = jax.jit(lambda e: moe_ops.aligned_expert_layout(e, E))(eidx)
+    gi, ps, et, _, _ = jax.jit(lambda e: moe_ops.aligned_expert_layout(e, E))(eidx)
     gate_w = jnp.asarray(rs.rand(T, k), jnp.float32)
 
     def gather_only(x):

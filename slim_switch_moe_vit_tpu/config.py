@@ -168,7 +168,7 @@ def get_args_parser():
     parser.add_argument("--eval-capacity-factor", default=2.0, type=float)
     parser.add_argument("--moe-dispatch", default="auto",
                         choices=["auto", "fused", "ragged", "capacity",
-                                 "expert_choice", "dense"],
+                                 "capacity_fused", "expert_choice", "dense"],
                         help="MoE dispatch: fused (dropless + fused Pallas "
                              "expert FFN, fastest on TPU), ragged (dropless "
                              "sort-based lax.ragged_dot), capacity (static "

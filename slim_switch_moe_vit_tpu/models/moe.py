@@ -33,6 +33,10 @@ class MoEMlp(nn.Module):
       — exact FastMoE dropless semantics, no Pallas dependency.
     - 'capacity': static per-expert capacity buffers — required for expert
       parallelism (all_to_all needs fixed shapes) and capacity-factor sweeps.
+    - 'capacity_fused': same capacity-dropping semantics (token-major
+      priority, identical outputs to 'capacity') dispatched via the
+      counting-sort layout + fused Pallas FFN — the fast single-chip form;
+      NOT expert-parallel capable (a pallas_call is opaque to GSPMD).
     - 'expert_choice': experts pick their top-capacity tokens (Zhou et al.
       2022) — perfectly balanced, sort-free; NOT FastMoE parity.
     - 'dense': exact O(E) oracle (tests/parity only).
@@ -83,12 +87,19 @@ class MoEMlp(nn.Module):
             import jax
 
             mode = "fused" if jax.default_backend() == "tpu" else "ragged"
-        if mode == "fused" and (dropout_rng is not None or h % 2 != 0):
-            mode = "ragged"  # fused kernel: no dropout path; even hidden only
+        if (mode in ("fused", "capacity_fused")
+                and (dropout_rng is not None or h % 2 != 0)):
+            # fused kernel: no dropout path; even hidden only
+            mode = "ragged" if mode == "fused" else "capacity"
 
         if mode == "fused":
             y, aux = moe_ops.moe_forward_fused(
                 flat, router_w, router_b, w1, b1, w2, b2, top_k=self.top_k,
+            )
+        elif mode == "capacity_fused":
+            y, aux = moe_ops.moe_forward_fused(
+                flat, router_w, router_b, w1, b1, w2, b2, top_k=self.top_k,
+                capacity_factor=cf,
             )
         elif mode == "ragged":
             y, aux = moe_ops.moe_forward_ragged(

@@ -301,7 +301,8 @@ def _rank_in_expert(flat_e: jnp.ndarray, num_experts: int, chunk: int = 256):
 
 def aligned_expert_layout(expert_idx: jnp.ndarray, num_experts: int,
                           tile: int = None, gate_w: jnp.ndarray = None,
-                          weight_dtype=jnp.bfloat16):
+                          weight_dtype=jnp.bfloat16,
+                          capacity: typ.Optional[int] = None):
     """Sort (token, choice) pairs by expert with TILE-aligned group starts.
 
     The fused Pallas FFN (``ops.fused_ffn``) requires every ``tile``-row block
@@ -309,33 +310,53 @@ def aligned_expert_layout(expert_idx: jnp.ndarray, num_experts: int,
     size ``Tp = roundup(T*k, tile) + E*tile`` (each group's padding < tile)
     where expert groups are contiguous and tile-aligned.
 
+    With ``capacity`` set, each expert's region is instead a STATIC
+    ``Cp = roundup(capacity+1, tile)`` rows (so the last slot is always
+    padding — dropped pairs point there) and pairs ranked at or beyond
+    ``capacity`` are dropped: their slot holds no pair and their combine
+    weight is zero. Token-major rank = FastMoE token priority, matching the
+    scatter-based capacity path exactly.
+
     Returns:
         gather_idx: (Tp,) int32 — source token for each padded slot (pad slots
             point at token 0; their outputs are never read and their
             cotangents are zero, so the value is irrelevant).
-        pair_slot: (T, k) int32 — padded slot of each (token, choice) pair.
+        pair_slot: (T, k) int32 — padded slot of each (token, choice) pair
+            (dropped pairs point at the final, always-padding slot).
         e_of_tile: (Tp // tile,) int32 — owning expert of each row tile.
         w_slot: (Tp,) weight_dtype — combine weight of each slot (0 at
             padding), or None when gate_w is not given.
+        keep: (T, k) bool — False where the pair was capacity-dropped
+            (all-True when capacity is None).
     """
     if tile is None:
         from .fused_ffn import TILE_ROWS as tile
     T, k = expert_idx.shape
     TK = T * k
     E = num_experts
-    Tp = ((TK + tile - 1) // tile) * tile + E * tile  # static
-    n_tiles = Tp // tile
 
     flat = expert_idx.reshape(-1)
     # counting-sort ranking instead of argsort (the sort was ~1 ms/block):
     # rank = how many earlier pairs chose the same expert. Token-major order
     # gives FastMoE's token-priority semantics, same as a stable sort.
     rank, group_sizes = _rank_in_expert(flat, E)
-    padded_sizes = ((group_sizes + tile - 1) // tile) * tile
-    padded_starts = jnp.cumsum(padded_sizes) - padded_sizes
-
-    slot_pair = padded_starts[flat] + rank               # (TK,)
-    pair_slot = slot_pair
+    if capacity is not None:
+        Cp = ((capacity + 1 + tile - 1) // tile) * tile  # last slot = pad
+        Tp = E * Cp
+        n_tiles = Tp // tile
+        keep = rank < capacity
+        slot_pair = jnp.where(keep, flat * Cp + rank, Tp - 1)
+        pair_slot = slot_pair
+        e_of_tile_np = np.repeat(np.arange(E, dtype=np.int32), Cp // tile)
+    else:
+        Tp = ((TK + tile - 1) // tile) * tile + E * tile  # static
+        n_tiles = Tp // tile
+        keep = jnp.ones((TK,), bool)
+        padded_sizes = ((group_sizes + tile - 1) // tile) * tile
+        padded_starts = jnp.cumsum(padded_sizes) - padded_sizes
+        slot_pair = padded_starts[flat] + rank               # (TK,)
+        pair_slot = slot_pair
+        e_of_tile_np = None
     # The slot table (which pair occupies each padded slot + its combine
     # weight) needs random-access construction. Element scatters/gathers on
     # (Tp,) vectors cost ~0.2-0.4 ms each at this size (profiled: 1-D random
@@ -352,31 +373,39 @@ def aligned_expert_layout(expert_idx: jnp.ndarray, num_experts: int,
     # through the bitcast.
     gate_ng = (None if gate_w is None
                else jax.lax.stop_gradient(gate_w.reshape(-1)))
+    # Dropped pairs must not register in the table (their reserved slot Tp-1
+    # is real padding): route their scatter out of bounds, mode="drop".
+    dest = slot_pair if capacity is None else jnp.where(keep, slot_pair, Tp)
     if (gate_ng is not None and TK < (1 << 16)
             and jnp.dtype(weight_dtype) == jnp.bfloat16):
         gbits = jax.lax.bitcast_convert_type(
             gate_ng.astype(jnp.bfloat16), jnp.uint16
         ).astype(jnp.int32)
         packed_vals = (gbits << 16) | jnp.arange(TK, dtype=jnp.int32)
-        packed = jnp.zeros((Tp,), jnp.int32).at[slot_pair].set(packed_vals)
+        packed = jnp.zeros((Tp,), jnp.int32).at[dest].set(packed_vals,
+                                                          mode="drop")
         gather_idx = (packed & 0xFFFF) // k
         w_slot = jax.lax.bitcast_convert_type(
             ((packed >> 16) & 0xFFFF).astype(jnp.uint16), jnp.bfloat16)
     else:
-        pair_of = jnp.zeros((Tp,), jnp.int32).at[slot_pair].set(
-            jnp.arange(TK, dtype=jnp.int32))
+        pair_of = jnp.zeros((Tp,), jnp.int32).at[dest].set(
+            jnp.arange(TK, dtype=jnp.int32), mode="drop")
         gather_idx = pair_of // k
         if gate_ng is not None:
-            w_slot = jnp.zeros((Tp,), weight_dtype).at[slot_pair].set(
-                gate_ng.astype(weight_dtype))
+            w_slot = jnp.zeros((Tp,), weight_dtype).at[dest].set(
+                gate_ng.astype(weight_dtype), mode="drop")
         else:
             w_slot = None
 
-    tile_starts = jnp.arange(n_tiles, dtype=jnp.int32) * tile
-    e_of_tile = jnp.clip(
-        jnp.searchsorted(padded_starts, tile_starts, side="right") - 1,
-        0, E - 1).astype(jnp.int32)
-    return gather_idx, pair_slot.reshape(T, k), e_of_tile, w_slot
+    if e_of_tile_np is not None:
+        e_of_tile = jnp.asarray(e_of_tile_np)
+    else:
+        tile_starts = jnp.arange(n_tiles, dtype=jnp.int32) * tile
+        e_of_tile = jnp.clip(
+            jnp.searchsorted(padded_starts, tile_starts, side="right") - 1,
+            0, E - 1).astype(jnp.int32)
+    return (gather_idx, pair_slot.reshape(T, k), e_of_tile, w_slot,
+            keep.reshape(T, k))
 
 
 def _f0(a):
@@ -384,7 +413,7 @@ def _f0(a):
 
 
 @jax.custom_vjp
-def _dispatch_gather(x, gather_idx, pair_slot):
+def _dispatch_gather(x, gather_idx, pair_slot, keep=None):
     """xs[s] = x[gather_idx[s]] — expand tokens into the padded expert layout.
 
     Custom VJP: the automatic backward of this gather is a 50k-row scatter-add
@@ -392,21 +421,26 @@ def _dispatch_gather(x, gather_idx, pair_slot):
     ``pair_slot[t, :]`` and every other (padding) slot carries a zero cotangent
     through the FFN (its combine weight is zero), so the exact gradient is k
     row GATHERS instead: dx[t] = sum_k dxs[pair_slot[t, k]].
+    ``keep`` (capacity mode): dropped pairs point at a padding slot whose
+    value is arbitrary — their gathered cotangent is masked to zero.
     """
     return jnp.take(x, gather_idx, axis=0)
 
 
-def _dispatch_gather_fwd(x, gather_idx, pair_slot):
-    return jnp.take(x, gather_idx, axis=0), (gather_idx, pair_slot)
+def _dispatch_gather_fwd(x, gather_idx, pair_slot, keep=None):
+    return jnp.take(x, gather_idx, axis=0), (gather_idx, pair_slot, keep)
 
 
 def _dispatch_gather_bwd(res, dxs):
-    gather_idx, pair_slot = res
+    gather_idx, pair_slot, keep = res
     dx = None
     for kk in range(pair_slot.shape[1]):
         g = jnp.take(dxs, pair_slot[:, kk], axis=0)
+        if keep is not None:
+            g = g * keep[:, kk:kk + 1].astype(g.dtype)
         dx = g if dx is None else dx + g
-    return dx, _f0(gather_idx), _f0(pair_slot)
+    return (dx, _f0(gather_idx), _f0(pair_slot),
+            None if keep is None else _f0(keep))
 
 
 _dispatch_gather.defvjp(_dispatch_gather_fwd, _dispatch_gather_bwd)
@@ -458,12 +492,19 @@ _combine_slots.defvjp(_combine_slots_fwd, _combine_slots_bwd)
 
 
 def moe_forward_fused(x: jnp.ndarray, router_w, router_b, w1, b1, w2, b2, *,
-                      top_k: int = 2):
-    """Dropless MoE with the fused Pallas expert-FFN kernel.
+                      top_k: int = 2,
+                      capacity_factor: typ.Optional[float] = None,
+                      capacity: typ.Optional[int] = None):
+    """MoE with the fused Pallas expert-FFN kernel.
 
-    Same semantics as ``moe_forward_ragged`` (FastMoE dropless, exact GELU,
-    no dropout support — callers fall back to ragged when drop_rate > 0).
-    The fc1+GELU+fc2 chain runs in one kernel per 128-row tile, keeping the
+    Dropless by default — same semantics as ``moe_forward_ragged`` (FastMoE
+    dropless, exact GELU, no dropout support — callers fall back to ragged
+    when drop_rate > 0). With ``capacity_factor``/``capacity`` set it becomes
+    the fast single-chip form of the capacity path: static per-expert
+    regions, token-major drop priority, results identical to ``moe_forward``
+    (the scatter-based buffers) — but dispatched via the counting-sort layout
+    + row gathers instead of XLA scatters.
+    The fc1+GELU+fc2 chain runs in one kernel per row tile, keeping the
     (rows, hidden) activation in VMEM — see ``ops/fused_ffn.py`` for the
     measured HBM-traffic argument.
     """
@@ -474,16 +515,26 @@ def moe_forward_fused(x: jnp.ndarray, router_w, router_b, w1, b1, w2, b2, *,
     logits = jnp.dot(x.astype(jnp.float32), router_w.astype(jnp.float32)) + router_b
     gate_w, expert_idx = naive_topk_gate(logits, top_k)
 
-    gather_idx, pair_slot, e_of_tile, w_slot = aligned_expert_layout(
-        expert_idx, E, gate_w=gate_w, weight_dtype=x.dtype)
-    xs = _dispatch_gather(x, gather_idx, pair_slot)
+    if capacity is None and capacity_factor is not None:
+        capacity = compute_capacity(T, E, top_k, capacity_factor)
+
+    gather_idx, pair_slot, e_of_tile, w_slot, keep = aligned_expert_layout(
+        expert_idx, E, gate_w=gate_w, weight_dtype=x.dtype,
+        capacity=capacity)
+    if capacity is None:
+        xs = _dispatch_gather(x, gather_idx, pair_slot)
+        gate_eff = gate_w
+    else:
+        xs = _dispatch_gather(x, gather_idx, pair_slot, keep)
+        gate_eff = gate_w * keep.astype(gate_w.dtype)
     out = fused_expert_ffn(xs, w1.astype(x.dtype), b1.astype(jnp.float32),
                            w2.astype(x.dtype), b2.astype(jnp.float32),
                            e_of_tile)
-    y = _combine_slots(out, pair_slot, gate_w, gather_idx, w_slot)
+    y = _combine_slots(out, pair_slot, gate_eff, gather_idx, w_slot)
     aux = {
         "balance_loss": load_balance_loss(logits, expert_idx, E),
-        "drop_fraction": jnp.asarray(0.0, jnp.float32),
+        "drop_fraction": (jnp.asarray(0.0, jnp.float32) if capacity is None
+                          else 1.0 - jnp.mean(keep.astype(jnp.float32))),
     }
     return y.astype(x.dtype), aux
 

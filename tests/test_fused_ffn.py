@@ -25,7 +25,7 @@ def test_aligned_layout_roundtrip():
     from slim_switch_moe_vit_tpu.ops.fused_ffn import TILE_ROWS
 
     gate = jnp.asarray(rs.rand(T, k), jnp.float32)
-    gather_idx, pair_slot, e_of_tile, w_slot = moe_ops.aligned_expert_layout(
+    gather_idx, pair_slot, e_of_tile, w_slot, _ = moe_ops.aligned_expert_layout(
         eidx, E, gate_w=gate)
     gi, ps, et, ws = map(np.asarray, (gather_idx, pair_slot, e_of_tile,
                                       np.asarray(w_slot, np.float32)))

@@ -174,3 +174,37 @@ def test_expert_choice_grads_flow():
     g = jax.grad(loss)(p)
     for name in ["router_w", "w1", "w2", "b1", "b2"]:
         assert float(jnp.abs(g[name]).sum()) > 0, name
+
+
+@pytest.mark.parametrize("capacity_factor", [2.0, 0.75, 0.25])
+def test_capacity_fused_matches_scatter_capacity(capacity_factor):
+    """The counting-sort capacity path must reproduce the scatter-based
+    capacity buffers exactly: same token-major drop priority, same outputs,
+    same gradients (including zero gradient through dropped pairs)."""
+    key = jax.random.PRNGKey(11)
+    p = _params(key)
+    x = jax.random.normal(jax.random.PRNGKey(12), (37, 16))
+
+    y_ref, aux_ref = moe_ops.moe_forward(
+        x, capacity_factor=capacity_factor, top_k=2, **p)
+    y_f, aux_f = moe_ops.moe_forward_fused(
+        x, capacity_factor=capacity_factor, top_k=2, **p)
+    np.testing.assert_allclose(np.asarray(y_f), np.asarray(y_ref),
+                               atol=2e-5)
+    np.testing.assert_allclose(float(aux_f["drop_fraction"]),
+                               float(aux_ref["drop_fraction"]), atol=1e-6)
+
+    def loss(fn):
+        def f(x, w1, b2):
+            y, _ = fn(x, p["router_w"], p["router_b"], w1, p["b1"],
+                      p["w2"], b2, top_k=2, capacity_factor=capacity_factor)
+            return jnp.sum(y ** 2)
+        return f
+
+    g_ref = jax.grad(loss(moe_ops.moe_forward), argnums=(0, 1, 2))(
+        x, p["w1"], p["b2"])
+    g_f = jax.grad(loss(moe_ops.moe_forward_fused), argnums=(0, 1, 2))(
+        x, p["w1"], p["b2"])
+    for a, e, nm in zip(g_f, g_ref, ("dx", "dw1", "db2")):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(e), atol=5e-5,
+                                   err_msg=nm)
