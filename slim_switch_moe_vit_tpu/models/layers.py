@@ -161,9 +161,11 @@ class Mlp(nn.Module):
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
+        from ..ops.fused_ffn import gelu_fast
+
         out_features = self.out_features or x.shape[-1]
         x = Dense(self.hidden_features, dtype=self.dtype, name="fc1")(x)
-        x = nn.gelu(x, approximate=False)
+        x = gelu_fast(x)
         x = nn.Dropout(self.drop)(x, deterministic=deterministic)
         x = Dense(out_features, dtype=self.dtype, name="fc2")(x)
         x = nn.Dropout(self.drop)(x, deterministic=deterministic)

@@ -35,6 +35,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from .fused_ffn import gelu_fast
+
 
 def naive_topk_gate(logits: jnp.ndarray, top_k: int):
     """FastMoE NaiveGate: select top-k experts, softmax over the k scores.
@@ -211,8 +213,7 @@ def moe_forward(x: jnp.ndarray, router_w, router_b, w1, b1, w2, b2, *,
 
 def moe_forward_ragged(x: jnp.ndarray, router_w, router_b, w1, b1, w2, b2, *,
                        top_k: int = 2,
-                       activation: typ.Callable = partial(jax.nn.gelu,
-                                                          approximate=False),
+                       activation: typ.Callable = gelu_fast,
                        dropout_rng=None, drop_rate: float = 0.0):
     """Dropless sort-based MoE — the fast single-chip path.
 
