@@ -51,6 +51,64 @@ def main():
         (p, s, e), _ = jax.lax.scan(body, (params, s, ema), None, length=K)
         return jax.tree.leaves(p)[0].ravel()[0]
 
+    # --- simulated packed-small-leaves variant: small leaves' p/mu/nu/ema
+    # live as ONE flat f32 vector; per step the small grads are packed, one
+    # flat fused elementwise updates everything, p is unpacked back to leaves
+    # for the (simulated) model apply. Measures whether per-leaf op overhead
+    # (~0.1 ms per small fusion in the flagship profile) is recoverable.
+    BIG = 1 << 22
+    small_keys = [(k, sk) for k in params for sk in params[k]
+                  if params[k][sk].size < BIG]
+    sizes = [int(params[k][sk].size) for k, sk in small_keys]
+    offs = np.cumsum([0] + sizes)
+    P = int(offs[-1])
+    print(f"small leaves: {len(sizes)} totalling {P/1e6:.1f}M params")
+
+    def pack(tree):
+        return jnp.concatenate([tree[k][sk].ravel() for k, sk in small_keys])
+
+    def unpack_into(tree, flat):
+        out = {k: dict(v) for k, v in tree.items()}
+        for (k, sk), o, sz in zip(small_keys, offs[:-1], sizes):
+            out[k][sk] = flat[o:o + sz].reshape(tree[k][sk].shape)
+        return out
+
+    def run_packed(params, flat_state, grads):
+        pf0, mu0, nu0, ema0 = flat_state
+        big = {k: {sk: v for sk, v in params[k].items() if v.size >= BIG}
+               for k in params}
+
+        def body(c, _):
+            big_p, pf, mu, nu, ema = c
+            gf = pack(grads)
+            mu = 0.9 * mu + 0.1 * gf
+            nu = 0.999 * nu + 0.001 * gf * gf
+            u = mu / (jnp.sqrt(nu) + 1e-8) + 0.05 * pf
+            pf = pf - lr * u
+            ema = ema * decay + pf * (1 - decay)
+            # big leaves: plain per-leaf math (2 per block, at HBM floor)
+            big_p = jax.tree.map(lambda p, g: p - lr * g, big_p,
+                                 {k: {sk: grads[k][sk] for sk in big_p[k]}
+                                  for k in big_p})
+            # unpack p for the model apply (the real cost of keeping state flat)
+            leaves = unpack_into(params, pf)
+            probe = sum(leaves[k][sk].ravel()[0]
+                        for k, sk in small_keys[:1])
+            return (big_p, pf, mu, nu, ema), probe
+        c, outs = jax.lax.scan(body, (big, pf0, mu0, nu0, ema0), None,
+                               length=K)
+        return outs[-1]
+
+    pf = pack(params)
+    flat_state = (pf, jnp.zeros_like(pf), jnp.zeros_like(pf), jnp.copy(pf))
+    fpk = jax.jit(run_packed, donate_argnums=(1,))
+    _ = float(fpk(params, flat_state, grads))
+    flat_state = (pf, jnp.zeros_like(pf), jnp.zeros_like(pf), jnp.copy(pf))
+    t0 = time.perf_counter()
+    _ = float(fpk(params, flat_state, grads))
+    print(f"packed-smalls cycle (pack g + flat update + unpack p): "
+          f"{(time.perf_counter() - t0) / K * 1000:7.3f} ms/step")
+
     for name, fn in (("optax", run_optax), ("fused", run_fused)):
         s = opt_init(params)
         ema = jax.tree.map(jnp.copy, params)

@@ -255,9 +255,13 @@ def _samples_per_cell(B: int, nb: int, row_bytes: int, bwd: bool = False) -> int
     """Samples per grid cell. Measured on v5e at ViT-S/b128: forward is best
     at G=1 (G=8 slows it ~40% — VMEM pressure eats the double buffering);
     backward is ~5% faster at G=2 (more independent chains hide the longer
-    MXU/VPU dependency path; scripts/bench_mha_variants.py)."""
+    MXU/VPU dependency path; scripts/bench_mha_variants.py) — but only while
+    the double-buffered operand blocks fit VMEM (at N=577 G=2 is a hard
+    scoped-vmem OOM: 22.6M vs the 16M limit)."""
     if bwd and B % 2 == 0:
-        return 2
+        per_sample = nb * row_bytes
+        if 2 * per_sample * 2 <= 11 * 2 ** 20:  # 2 samples, double-buffered
+            return 2
     return 1
 
 

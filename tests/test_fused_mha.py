@@ -60,3 +60,15 @@ def test_attention_module_fused_equals_xla():
     y_fused = m_fused.apply(params, x, deterministic=True)
     np.testing.assert_allclose(np.asarray(y_fused), np.asarray(y_xla),
                                rtol=2e-4, atol=2e-4)
+
+
+def test_bwd_samples_per_cell_respects_vmem():
+    """G=2 backward blocks must not exceed scoped VMEM: at N=577 (384px
+    finetune) G=2 was a hard compile OOM (22.6M vs 16M)."""
+    from slim_switch_moe_vit_tpu.ops.attention import _samples_per_cell
+
+    C = 384
+    row_bytes = (2 * 3 * C + C) * 2
+    assert _samples_per_cell(128, 208, row_bytes, bwd=True) == 2
+    assert _samples_per_cell(64, 592, row_bytes, bwd=True) == 1
+    assert _samples_per_cell(128, 208, row_bytes, bwd=False) == 1
