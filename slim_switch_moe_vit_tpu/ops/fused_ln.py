@@ -41,9 +41,13 @@ def _row_tile(rows: int) -> typ.Optional[int]:
     return None
 
 
-def _batch_tile(b: int) -> int:
+def _batch_tile(b: int, n: int, d: int, itemsize: int = 2) -> int:
+    """Samples per grid cell, capped so the four double-buffered (G, N, D)
+    operand blocks stay within scoped VMEM (at 384px/N=577, G=8 was a hard
+    compile OOM: 20.5M vs the 16M limit)."""
+    per_sample = 4 * n * d * itemsize * 2  # 4 row operands, double-buffered
     for cand in (8, 4, 2):
-        if b % cand == 0:
+        if b % cand == 0 and cand * per_sample <= 10 * 2 ** 20:
             return cand
     return 1
 
@@ -55,11 +59,11 @@ def supported(x) -> bool:
     return x.ndim == 2 and _row_tile(x.shape[0]) is not None
 
 
-def _specs(shape):
+def _specs(shape, itemsize: int = 2):
     """(grid, row-block spec, vec spec) for a (B, N, D) or (rows, D) array."""
     if len(shape) == 3:
         B, N, D = shape
-        G = _batch_tile(B)
+        G = _batch_tile(B, N, D, itemsize)
         return ((B // G,),
                 pl.BlockSpec((G, N, D), lambda i: (i, 0, 0)),
                 pl.BlockSpec((1, D), lambda i: (0, 0)))
@@ -94,7 +98,7 @@ def _fwd_kernel_noadd(x_ref, g_ref, b_ref, y_ref, *, eps):
 
 
 def _fwd(x, r, gamma, beta, eps):
-    grid, row_spec, vec_spec = _specs(x.shape)
+    grid, row_spec, vec_spec = _specs(x.shape, x.dtype.itemsize)
     if r is None:
         y = pl.pallas_call(
             functools.partial(_fwd_kernel_noadd, eps=eps),
@@ -159,7 +163,7 @@ def _bwd_kernel(u_ref, dy_ref, du_out_ref, g_ref, du_ref, dg_ref, db_ref, *,
 
 def _bwd(u, dy, du_out, gamma, eps):
     D = u.shape[-1]
-    grid, row_spec, vec_spec = _specs(u.shape)
+    grid, row_spec, vec_spec = _specs(u.shape, u.dtype.itemsize)
     has_du_out = du_out is not None
     du, dg, db = pl.pallas_call(
         functools.partial(_bwd_kernel, eps=eps, has_du_out=has_du_out),
@@ -270,7 +274,7 @@ def _bwd_kernel_slim(a_ref, b_ref, dy_ref, g_ref, du_ref, dg_ref, db_ref, *,
 
 
 def _slim_fwd_impl(a, b, gamma, beta, eps):
-    grid, row_spec, vec_spec = _specs(a.shape)
+    grid, row_spec, vec_spec = _specs(a.shape, a.dtype.itemsize)
     return pl.pallas_call(
         functools.partial(_fwd_kernel_slim, eps=eps),
         grid=grid,
@@ -295,7 +299,7 @@ def _sum_ln_fwd(a, b, gamma, beta, eps):
 def _sum_ln_bwd(eps, res, dy):
     a, b, gamma = res
     D = a.shape[-1]
-    grid, row_spec, vec_spec = _specs(a.shape)
+    grid, row_spec, vec_spec = _specs(a.shape, a.dtype.itemsize)
     du, dg, db = pl.pallas_call(
         functools.partial(_bwd_kernel_slim, eps=eps),
         grid=grid,
