@@ -179,30 +179,44 @@ def _bwd_kernel_imajor(e_ref, dy_ref, x_ref, w1_ref, b1_ref, w2_ref,
     dw2 = jax.lax.dot_general(g, dy, (((0,), (0,)), ((), ())),
                               preferred_element_type=jnp.float32)[None]
 
+    # full-block accumulate with the half zero-padded to full H: partial
+    # (static- or dynamic-slice) writes to revisited output refs crash the
+    # Mosaic compiler, uniform whole-block read-modify-write does not
     first = first_tile
-    for half in range(2):  # static slices: dynamic pl.ds crashes Mosaic here
-        sl = slice(half * H2, (half + 1) * H2)
+    z1 = jnp.zeros_like(dw1)
+    dw1f = jnp.where(hh == 0, jnp.concatenate([dw1, z1], axis=2),
+                     jnp.concatenate([z1, dw1], axis=2))
+    zb = jnp.zeros_like(db1)
+    db1f = jnp.where(hh == 0, jnp.concatenate([db1, zb], axis=2),
+                     jnp.concatenate([zb, db1], axis=2))
+    z2 = jnp.zeros_like(dw2)
+    dw2f = jnp.where(hh == 0, jnp.concatenate([dw2, z2], axis=1),
+                     jnp.concatenate([z2, dw2], axis=1))
 
-        @pl.when(jnp.logical_and(hh == half, first))
-        def _(sl=sl):
-            dw1_ref[0, :, sl] = dw1[0]
-            db1_ref[0, 0, sl] = db1[0, 0]
-            dw2_ref[0, sl, :] = dw2[0]
+    init = jnp.logical_and(first, hh == 0)  # (i_start, 1) must accumulate
 
-        @pl.when(jnp.logical_and(hh == half, jnp.logical_not(first)))
-        def _(sl=sl):
-            dw1_ref[0, :, sl] = dw1_ref[0, :, sl] + dw1[0]
-            db1_ref[0, 0, sl] = db1_ref[0, 0, sl] + db1[0, 0]
-            dw2_ref[0, sl, :] = dw2_ref[0, sl, :] + dw2[0]
+    @pl.when(init)
+    def _():
+        dw1_ref[:] = dw1f
+        db1_ref[:] = db1f
+        dw2_ref[:] = dw2f
 
+    @pl.when(jnp.logical_not(init))
+    def _():
+        dw1_ref[:] = dw1_ref[:] + dw1f
+        db1_ref[:] = db1_ref[:] + db1f
+        dw2_ref[:] = dw2_ref[:] + dw2f
+
+    # write db2 on EVERY step (hh==1 contributes zero) — an output block
+    # mapped but unwritten in some grid steps is another crash suspect
     db2 = jnp.sum(dy.astype(jnp.float32), axis=0)[None, None]
-    first2 = jnp.logical_and(first, hh == 0)
+    db2 = jnp.where(hh == 0, db2, jnp.zeros_like(db2))
 
-    @pl.when(first2)
+    @pl.when(init)
     def _():
         db2_ref[:] = db2
 
-    @pl.when(jnp.logical_and(jnp.logical_not(first2), hh == 0))
+    @pl.when(jnp.logical_not(init))
     def _():
         db2_ref[:] = db2_ref[:] + db2
 
@@ -272,16 +286,26 @@ def main():
     timed("dw-only (4 GEMMs)",
           lambda dy_, *a: dw_only(dy_, *a, 256), dy, xs, w1, b1, w2, e256)
 
-    # correctness of the i-major variant vs the production kernel
-    ref = ff._bwd(dy, xs, w1, b1, w2, e256)
-    im = bwd_imajor(dy, xs, w1, b1, w2, e256, 256)
-    for a, b, nm in [(im[0], ref[0], "dx"), (im[1], ref[1], "dw1"),
-                     (im[3], ref[3], "dw2")]:
-        d = float(jnp.max(jnp.abs(a.astype(jnp.float32) -
-                                  b.astype(jnp.float32))))
-        print(f"imajor {nm} max diff: {d:.3e}")
-    timed("bwd i-major (full-H dw)",
-          lambda dy_, *a: bwd_imajor(dy_, *a, 256), dy, xs, w1, b1, w2, e256)
+    # i-major variant: PARKED. Bisection result (r2): dx-only i-major with
+    # VMEM accumulation across the hh dim compiles and matches production
+    # exactly, but adding any full-H dw output (whole-block accumulate,
+    # zero-padded halves, every output written every step) either crashes
+    # the Mosaic compiler or hangs it >10 min. Guarded so this script stays
+    # usable.
+    try:
+        ref = ff._bwd(dy, xs, w1, b1, w2, e256)
+        im = bwd_imajor(dy, xs, w1, b1, w2, e256, 256)
+        for a, b, nm in [(im[0], ref[0], "dx"), (im[1], ref[1], "dw1"),
+                         (im[3], ref[3], "dw2")]:
+            d = float(jnp.max(jnp.abs(a.astype(jnp.float32) -
+                                      b.astype(jnp.float32))))
+            print(f"imajor {nm} max diff: {d:.3e}")
+        timed("bwd i-major (full-H dw)",
+              lambda dy_, *a: bwd_imajor(dy_, *a, 256), dy, xs, w1, b1, w2,
+              e256)
+    except Exception as e:  # noqa: BLE001 - known Mosaic compiler crash
+        print(f"# i-major variant failed (known Mosaic issue): "
+              f"{type(e).__name__}")
 
     # ---- ceiling check: GELU stubbed to identity (measures poly VPU cost)
     import unittest.mock as mock
