@@ -21,6 +21,13 @@ Measurement notes (this environment's axon TPU tunnel):
 ratio is vs the north-star target from BASELINE.json — 90% of the analytic
 roofline images/sec for each model at v5e bf16 peak (197 TFLOP/s), with
 train ~= 3x forward FLOPs. vs_baseline >= 1.0 means the north star is met.
+
+``vs_achievable``: same value vs the ACHIEVABLE roofline — the measured
+per-op floor decomposition recorded in BASELINE.json["achievable"] (see
+BASELINE.md "Achievable roofline" for the derivation). The nominal target
+prices exact-parity dropless top-2 training below its intrinsic work
+(5-GEMM FFN backward, N=197 MXU fill, dispatch HBM traffic), so
+vs_achievable is the ratio that can actually reach 1.0.
 """
 import json
 import os
@@ -112,12 +119,25 @@ def _measure_eval(name, batch=256, img=224, K=40, reps=3):
     return batch * K / min(times)
 
 
+def _achievable(metric):
+    try:
+        path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "BASELINE.json")
+        with open(path) as f:
+            cfgs = json.load(f)["achievable"]["configs"]
+        return cfgs.get(metric, {}).get("achievable_images_per_sec")
+    except Exception:  # noqa: BLE001 - missing/legacy BASELINE.json
+        return None
+
+
 def _emit(metric, value, unit, target):
+    ach = _achievable(metric)
     print(json.dumps({
         "metric": metric,
         "value": round(value, 2),
         "unit": unit,
         "vs_baseline": round(value / target, 4) if target else None,
+        "vs_achievable": round(value / ach, 4) if ach else None,
     }), flush=True)
 
 
@@ -150,7 +170,10 @@ def main():
 
         # cfg4: capacity-factor dispatch with real token dropping
         # (capacity_fused = counting-sort layout + fused FFN kernel; output-
-        # identical to the scatter-based 'capacity' EP path — tested)
+        # identical to the scatter-based 'capacity' EP path in f32, and
+        # identical up to the bf16 poly-GELU tolerance in bf16 — tested.
+        # NOTE the metric key predates the r2 switch to capacity_fused;
+        # earlier rounds measured the scatter-based path under this key.)
         try:
             ips = _measure_train("moe_small_patch16_224_expert8",
                                  dispatch_mode="capacity_fused",

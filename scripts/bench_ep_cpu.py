@@ -78,6 +78,7 @@ def main():
         "value": round(dt * 1000, 1),
         "unit": "ms/step",
         "vs_baseline": None,
+        "vs_achievable": None,  # virtual CPU mesh: no hardware roofline
     }))
 
 

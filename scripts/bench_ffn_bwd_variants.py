@@ -313,7 +313,13 @@ def main():
     def id_fns(dtype):
         return (lambda h: h), (lambda h: jnp.ones_like(h))
 
-    with mock.patch.object(ff, "_gelu_fns", id_fns):
+    def id_pair(dtype):
+        return lambda h: (h, jnp.ones_like(h))
+
+    # patch BOTH entry points: _fwd uses _gelu_fns, the unified bwd uses the
+    # shared-CDF _gelu_pair_fn (was stale after the r2 pair-fn switch)
+    with mock.patch.object(ff, "_gelu_fns", id_fns), \
+            mock.patch.object(ff, "_gelu_pair_fn", id_pair):
         timed("fwd NO-GELU ceiling",
               lambda x_, *a: ff._fwd(x_, *a), xs, w1, b1, w2, b2, e256)
         timed("unified bwd NO-GELU ceiling",

@@ -2,8 +2,14 @@
 
 Runs the reference math (torch oracle, tests/torch_oracle.py — the actual
 reference cannot execute here: timm and the CUDA-only fmoe are not
-installed) and this framework from IDENTICAL weights on IDENTICAL data for
-50 AdamW steps, and records both loss curves into BASELINE.json["golden"].
+installed) and this framework from IDENTICAL weights on IDENTICAL data, and
+records the loss curves into BASELINE.json["golden"], one entry per config:
+
+- resmoe_tiny      200 AdamW steps, dropless ragged dispatch (the flagship
+                   semantics: STE gates + NaiveGate top-2 MoE)
+- distilled_deit   50 steps, dual heads + soft KD vs a frozen teacher
+- capacity_drop    50 steps, finite capacity_factor -> real token drops on
+                   both sides (token-major slot priority)
 
 Usage: python scripts/golden_baseline.py
 """
@@ -15,83 +21,206 @@ import numpy as np
 sys.path.insert(0, "/root/repo")
 sys.path.insert(0, "/root/repo/tests")
 
-STEPS = 50
 LR, GATE_LR = 1e-3, 5e-4
 THRESHOLD = 0.5
 
 
-def main():
+def _drift(jax_curve, torch_curve):
+    rel = [abs(a - b) / max(abs(b), 1e-9)
+           for a, b in zip(jax_curve, torch_curve)]
+    return {"step0_rel_diff": rel[0], "max_rel_diff": max(rel),
+            "mean_rel_diff": sum(rel) / len(rel)}
+
+
+def _run_resmoe(steps, dispatch_mode, capacity_factor, batches, batch,
+                seed=7):
+    """Shared harness: jax resmoe_tiny vs the torch oracle, same weights,
+    same batches. Returns (summary_dict)."""
     import jax
-    jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+    import torch
+
+    from slim_switch_moe_vit_tpu import create_model, losses, optim
+    from slim_switch_moe_vit_tpu.engine import make_train_step
+    from slim_switch_moe_vit_tpu.ops.moe import compute_capacity
+    from slim_switch_moe_vit_tpu.train_state import create_train_state
+    from torch_oracle import OracleResMoEViT, load_from_flax, train_losses
+
+    model = create_model(
+        "resmoe_tiny_patch16_224_expert8", num_classes=10, img_size=32,
+        dispatch_mode=dispatch_mode, capacity_factor=capacity_factor,
+        starting_threshold=THRESHOLD, target_threshold=THRESHOLD,
+    )
+    probe = create_train_state(model, (1, 32, 32, 3))
+    opt_init, opt_update = optim.make_optimizer(probe.params,
+                                                weight_decay=0.05)
+    state = create_train_state(model, (1, 32, 32, 3), opt_init=opt_init)
+    if dispatch_mode == "capacity":
+        # break the step-0 all-zero router-logit ties (implementation-defined
+        # top-k order would consume different experts' capacity slots) — see
+        # tests/test_golden_torch_parity.py::perturb_router_bias
+        from test_golden_torch_parity import perturb_router_bias
+        state = state.replace(params=perturb_router_bias(state.params))
+    init_params = jax.tree.map(np.asarray, state.params)
+
+    crit = losses.make_base_criterion(False, 0.1, False)
+    step = make_train_step(model, opt_update, crit, donate=False)
+
+    rs = np.random.RandomState(seed)
+    images = rs.randn(batches, batch, 32, 32, 3).astype(np.float32)
+    labels = rs.randint(0, 10, (batches, batch))
+
+    jax_curve = []
+    for s in range(steps):
+        state, metrics = step(
+            state, jnp.asarray(images[s % batches]),
+            jnp.asarray(labels[s % batches]),
+            jnp.float32(LR), jnp.float32(GATE_LR))
+        jax_curve.append(round(float(metrics["loss"]), 6))
+        if s % 20 == 0:
+            print(f"  jax step {s:3d}: {jax_curve[-1]:.6f}", flush=True)
+
+    cap = None
+    if dispatch_mode == "capacity":
+        n_tok = batch * ((32 // 16) ** 2 + 1)
+        cap = compute_capacity(n_tok, 8, 2, capacity_factor)
+        print(f"  capacity = {cap} slots/expert ({n_tok} tokens x2 choices)")
+
+    torch.manual_seed(0)
+    oracle = OracleResMoEViT(num_classes=10, capacity=cap)
+    load_from_flax(oracle, init_params)
+    torch_curve = [round(v, 6) for v in train_losses(
+        oracle, images, labels, steps, LR, GATE_LR, threshold=THRESHOLD)]
+
+    return {
+        "config": {
+            "model": "resmoe_tiny_patch16_224_expert8 (img 32, 10 classes)",
+            "steps": steps, "lr": LR, "gate_lr": GATE_LR,
+            "threshold": THRESHOLD, "optimizer": "AdamW wd=0.05",
+            "criterion": "label-smoothing CE (0.1)", "dtype": "f32",
+            "dispatch": dispatch_mode, "capacity_factor": capacity_factor,
+            "capacity_slots": cap,
+            "batches": f"{batches}x{batch} synthetic, fixed seed {seed}, "
+                       "shared bit-exact",
+        },
+        "reference_torch_oracle_loss": torch_curve,
+        "rebuild_jax_loss": jax_curve,
+        **_drift(jax_curve, torch_curve),
+    }
+
+
+def _run_distilled(steps=50, alpha=0.5, tau=3.0):
+    import jax
     import jax.numpy as jnp
     import torch
 
     from slim_switch_moe_vit_tpu import create_model, losses, optim
     from slim_switch_moe_vit_tpu.engine import make_train_step
     from slim_switch_moe_vit_tpu.train_state import create_train_state
-    from torch_oracle import OracleResMoEViT, load_from_flax, train_losses
+    from torch_oracle import OracleViT, load_from_flax_vit, \
+        train_losses_distilled
 
-    model = create_model(
-        "resmoe_tiny_patch16_224_expert8", num_classes=10, img_size=32,
-        dispatch_mode="ragged", starting_threshold=THRESHOLD,
-        target_threshold=THRESHOLD,
-    )
-    probe = create_train_state(model, (1, 32, 32, 3))
+    student = create_model("deit_tiny_distilled_patch16_224", num_classes=10,
+                           img_size=32)
+    teacher = create_model("deit_tiny_patch16_224", num_classes=10,
+                           img_size=32)
+    t_state = create_train_state(teacher, (1, 32, 32, 3), seed=1)
+    t_vars = {"params": t_state.params}
+
+    def teacher_apply(images):
+        return teacher.apply(t_vars, images, deterministic=True)
+
+    probe = create_train_state(student, (1, 32, 32, 3))
     opt_init, opt_update = optim.make_optimizer(probe.params,
                                                 weight_decay=0.05)
-    state = create_train_state(model, (1, 32, 32, 3), opt_init=opt_init)
+    state = create_train_state(student, (1, 32, 32, 3), opt_init=opt_init)
     init_params = jax.tree.map(np.asarray, state.params)
+    teacher_params = jax.tree.map(np.asarray, t_state.params)
 
     crit = losses.make_base_criterion(False, 0.1, False)
-    step = make_train_step(model, opt_update, crit, donate=False)
+    step = make_train_step(student, opt_update, crit,
+                           distillation_type="soft", alpha=alpha, tau=tau,
+                           teacher_apply=teacher_apply, donate=False)
 
-    rs = np.random.RandomState(7)
+    rs = np.random.RandomState(11)
     images = rs.randn(4, 16, 32, 32, 3).astype(np.float32)
     labels = rs.randint(0, 10, (4, 16))
 
     jax_curve = []
-    for s in range(STEPS):
+    for s in range(steps):
         state, metrics = step(
             state, jnp.asarray(images[s % 4]), jnp.asarray(labels[s % 4]),
-            jnp.float32(LR), jnp.float32(GATE_LR))
+            jnp.float32(LR), jnp.float32(LR))
         jax_curve.append(round(float(metrics["loss"]), 6))
-        print(f"jax   step {s:3d}: {jax_curve[-1]:.6f}")
+        if s % 20 == 0:
+            print(f"  jax step {s:3d}: {jax_curve[-1]:.6f}", flush=True)
 
     torch.manual_seed(0)
-    oracle = OracleResMoEViT(num_classes=10)
-    load_from_flax(oracle, init_params)
-    torch_curve = [round(v, 6) for v in train_losses(
-        oracle, images, labels, STEPS, LR, GATE_LR, threshold=THRESHOLD)]
-    for s, v in enumerate(torch_curve):
-        print(f"torch step {s:3d}: {v:.6f}")
+    o_student = OracleViT(num_classes=10, distilled=True)
+    o_teacher = OracleViT(num_classes=10, distilled=False)
+    load_from_flax_vit(o_student, init_params)
+    load_from_flax_vit(o_teacher, teacher_params)
+    torch_curve = [round(v, 6) for v in train_losses_distilled(
+        o_student, o_teacher, images, labels, steps, LR, alpha, tau)]
 
-    rel = [abs(a - b) / max(abs(b), 1e-9)
-           for a, b in zip(jax_curve, torch_curve)]
-    summary = {
+    return {
         "config": {
-            "model": "resmoe_tiny_patch16_224_expert8 (img 32, 10 classes)",
-            "steps": STEPS, "lr": LR, "gate_lr": GATE_LR,
-            "threshold": THRESHOLD, "optimizer": "AdamW wd=0.05",
-            "criterion": "label-smoothing CE (0.1)", "dtype": "f32",
-            "batches": "4x16 synthetic, fixed seed 7, shared bit-exact",
+            "model": "deit_tiny_distilled_patch16_224 (img 32, 10 classes)",
+            "teacher": "deit_tiny_patch16_224 (random init, seed 1)",
+            "steps": steps, "lr": LR, "alpha": alpha, "tau": tau,
+            "optimizer": "AdamW wd=0.05",
+            "criterion": "smoothed CE (cls head) + soft KD (dist head)",
+            "dtype": "f32",
+            "batches": "4x16 synthetic, fixed seed 11, shared bit-exact",
         },
         "reference_torch_oracle_loss": torch_curve,
         "rebuild_jax_loss": jax_curve,
-        "step0_rel_diff": rel[0],
-        "max_rel_diff": max(rel),
-        "mean_rel_diff": sum(rel) / len(rel),
-        "note": ("reference cannot execute here (timm + CUDA fmoe missing); "
-                 "oracle implements its formulas — see tests/torch_oracle.py. "
-                 "Divergence beyond ~step 2 is intrinsic: STE hard gates flip "
-                 "discretely on fp noise (tests/test_golden_torch_parity.py)."),
+        **_drift(jax_curve, torch_curve),
     }
+
+
+def main():
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+
+    note = ("reference cannot execute here (timm + CUDA fmoe missing); the "
+            "oracle implements its formulas — see tests/torch_oracle.py. "
+            "Divergence beyond ~step 2 in gated/capacity configs is "
+            "intrinsic: STE hard gates and capacity slot priority flip "
+            "discretely on fp noise (tests/test_golden_torch_parity.py). "
+            "The dense distilled config has no discrete mechanism and "
+            "tracks tightly the whole way.")
+
+    print("[1/3] resmoe_tiny, 200 steps, dropless ragged")
+    resmoe = _run_resmoe(steps=200, dispatch_mode="ragged",
+                         capacity_factor=2.0, batches=4, batch=16)
+    print(f"  drift: step0 {resmoe['step0_rel_diff']:.2e}, "
+          f"max {resmoe['max_rel_diff']:.3f}, "
+          f"mean {resmoe['mean_rel_diff']:.3f}")
+
+    print("[2/3] distilled deit, 50 steps, soft KD")
+    distilled = _run_distilled(steps=50)
+    print(f"  drift: step0 {distilled['step0_rel_diff']:.2e}, "
+          f"max {distilled['max_rel_diff']:.3f}, "
+          f"mean {distilled['mean_rel_diff']:.3f}")
+
+    print("[3/3] resmoe_tiny, 50 steps, capacity_factor 0.5 (real drops)")
+    capacity = _run_resmoe(steps=50, dispatch_mode="capacity",
+                           capacity_factor=0.5, batches=4, batch=16)
+    print(f"  drift: step0 {capacity['step0_rel_diff']:.2e}, "
+          f"max {capacity['max_rel_diff']:.3f}, "
+          f"mean {capacity['mean_rel_diff']:.3f}")
+
     path = "/root/repo/BASELINE.json"
     base = json.load(open(path))
-    base["golden"] = summary
+    base["golden"] = {
+        "note": note,
+        "resmoe_tiny": resmoe,
+        "distilled_deit": distilled,
+        "capacity_drop": capacity,
+    }
     json.dump(base, open(path, "w"), indent=2)
     print(f"\nwrote golden curves to {path}")
-    print(f"step0 rel diff {rel[0]:.2e}, max {max(rel):.3f}, "
-          f"mean {summary['mean_rel_diff']:.3f}")
 
 
 if __name__ == "__main__":

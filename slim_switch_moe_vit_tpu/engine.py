@@ -186,7 +186,14 @@ def train_one_epoch(state: TrainState, train_step, data_loader, epoch: int,
     window: typ.List[dict] = []  # un-fetched device metrics
 
     def drain():
-        for m in window:
+        if not window:
+            return
+        # ONE device_get for the whole window — per-scalar fetches cost a
+        # full host round-trip each (~27 ms over this tunnel), which round 2
+        # measured as the gap between main.py and bench.py throughput
+        fetched = jax.device_get(window)
+        window.clear()
+        for m in fetched:
             loss_value = float(m["loss"])
             if abort_on_nan and not math.isfinite(loss_value):
                 # reference crash-fast behavior (engine.py:56-60)
@@ -196,7 +203,6 @@ def train_one_epoch(state: TrainState, train_step, data_loader, epoch: int,
                      ("balance_loss", "drop_fraction", "skip_fraction")
                      if k in m}
             metric_logger.update(loss=loss_value, lr=lr_base, **extra)
-        window.clear()
 
     n = 0
     for samples, targets in metric_logger.log_every(data_loader, print_freq, header):

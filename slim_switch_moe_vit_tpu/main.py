@@ -65,6 +65,13 @@ def build_model(args, nb_classes: int):
         dispatch = args.moe_dispatch
         if dispatch == "auto" and args.expert_parallel > 1:
             dispatch = "capacity"  # EP all_to_all needs static buffers
+        elif dispatch == "capacity_fused" and args.expert_parallel > 1:
+            # the fused kernel's pallas_call is opaque to GSPMD: experts
+            # would silently replicate (no all_to_all) instead of sharding
+            raise ValueError(
+                "--moe-dispatch capacity_fused cannot shard experts "
+                "(pallas_call is opaque to GSPMD); use --moe-dispatch "
+                "capacity (or auto) with --expert-parallel > 1")
         kwargs.update(
             starting_threshold=args.starting_threshold,
             target_threshold=args.target_threshold,
@@ -85,6 +92,13 @@ def _make_loaders(args, dataset_train, dataset_val, task_dataset_val):
     rank = jax.process_index()
     if args.repeated_aug:
         sampler_train = RASampler(len(dataset_train), world, rank, shuffle=True)
+        if len(dataset_train) and not len(sampler_train):
+            # RASampler truncates to floor(len/256)*256 (reference
+            # samplers.py:37-38) — on a dataset smaller than 256 samples the
+            # epoch would silently run ZERO steps
+            print(f"WARNING: RASampler selected 0 of {len(dataset_train)} "
+                  "samples (floor(len/256)*256 truncation); use "
+                  "--no-repeated-aug for datasets smaller than 256 samples")
     else:
         sampler_train = DistributedSampler(len(dataset_train), world, rank,
                                            shuffle=True)

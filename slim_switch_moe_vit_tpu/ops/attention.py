@@ -1,20 +1,22 @@
-"""Pallas flash-attention kernel for TPU.
+"""Pallas attention kernels for TPU.
 
 The reference's attention is cuDNN/cuBLAS via torch (``models/
-vision_transformer.py:260-280``: qkv GEMM, softmax(QK^T)V). Here the fused
-inference path is a Pallas kernel: per (batch*head, q-block) grid cell, the
-online-softmax loop over K/V blocks keeps scores in VMEM and never
-materializes the (N, N) attention matrix in HBM.
+vision_transformer.py:260-280``: qkv GEMM, softmax(QK^T)V). Two kernels here:
 
-Measured on the v5e (b32, H=6, d=64): correct to bf16 tolerance, but the XLA
-attention is faster at ViT sequence lengths (0.94 vs 1.22 ms at N=197, 1.8 vs
-2.9 ms at N=577) — d=64 pads to the 128-lane MXU width, wasting half the
-array. Flash therefore stays opt-in (``use_flash``); its value here is the
-O(N) memory footprint for long-sequence serving, not ViT throughput.
+1. ``fused_mha`` — the PRODUCTION path for ViT lengths (default on TPU for
+   N <= 1024): fused forward AND backward over the packed (B, N, 3C) qkv
+   tensor, one grid cell per sample group, d(qkv) emitted directly in packed
+   layout (see the section comment above ``_mha_fwd_kernel``). Measured on
+   v5e: ~1.5x the XLA path in-model at N=197 (ViT-S b128), 2.2x fwd / 2.0x
+   bwd at N=577 (384px b64) — ``scripts/bench_mha_variants.py``.
 
-The kernel computes the forward pass; under ``jax.grad`` a custom VJP
-recomputes with the plain XLA attention (correctness-first; a fused backward
-kernel is future work — training defaults to the XLA path anyway).
+2. ``flash_attention`` — a classic online-softmax streaming kernel, opt-in
+   (``use_flash``): per (batch*head, q-block) grid cell the K/V loop keeps
+   scores in VMEM, never materializing the (N, N) matrix in HBM. Its value
+   is the O(N) memory footprint for serving-length sequences; at ViT lengths
+   the XLA path is faster (0.94 vs 1.22 ms at N=197 — d=64 pads to the
+   128-lane MXU width). Its backward recomputes with the XLA oracle
+   (correctness-first; fused_mha is the trained path).
 """
 from __future__ import annotations
 

@@ -305,6 +305,10 @@ def _bwd(dy, xs, w1, b1, w2, e_of_tile, dy_scale=None):
 # ---------------------------------------------------------------------------
 
 @jax.custom_vjp
+def _fused_expert_ffn_vjp(xs, w1, b1, w2, b2, e_of_tile, dy_scale):
+    return _fwd(xs, w1, b1, w2, b2, e_of_tile)
+
+
 def fused_expert_ffn(xs, w1, b1, w2, b2, e_of_tile, dy_scale=None):
     """fc2(GELU(fc1(xs))) with per-tile expert weights.
 
@@ -313,16 +317,21 @@ def fused_expert_ffn(xs, w1, b1, w2, b2, e_of_tile, dy_scale=None):
             Tp a multiple of 128.
         w1/b1/w2/b2: (E, D, H) / (E, H) / (E, H, D) / (E, D).
         e_of_tile: (Tp // 128,) int32 — owning expert of each row tile.
-        dy_scale: optional (Tp,) non-differentiable per-row factor applied to
-            the incoming cotangent in backward (the combine weights, 0 at
-            padding slots) — lets the combine VJP hand over a raw row gather.
+        dy_scale: optional (Tp,) per-row factor applied to the incoming
+            cotangent in backward (the combine weights, 0 at padding slots) —
+            lets the combine VJP hand over a raw row gather. NON-differentiable
+            by contract: stop_gradient is applied here so a caller passing
+            live combine weights gets an explicitly severed tangent (the VJP
+            returns zero for this slot), never silently-wrong gradients.
     Returns:
         (Tp, D) in xs.dtype.
     """
-    return _fwd(xs, w1, b1, w2, b2, e_of_tile)
+    if dy_scale is not None:
+        dy_scale = jax.lax.stop_gradient(dy_scale)
+    return _fused_expert_ffn_vjp(xs, w1, b1, w2, b2, e_of_tile, dy_scale)
 
 
-def _ffn_fwd(xs, w1, b1, w2, b2, e_of_tile, dy_scale=None):
+def _ffn_fwd(xs, w1, b1, w2, b2, e_of_tile, dy_scale):
     y = _fwd(xs, w1, b1, w2, b2, e_of_tile)
     return y, (xs, w1, b1, w2, e_of_tile, dy_scale)
 
@@ -333,9 +342,10 @@ def _ffn_bwd(res, dy):
     dx, dw1, db1, dw2, db2 = _bwd(dy, xs, w1, b1, w2, e_of_tile,
                                   dy_scale=dy_scale)
     de = np.zeros(e_of_tile.shape, dtype=jax.dtypes.float0)
+    # zero by contract — the public wrapper stop_gradients dy_scale
     ds = None if dy_scale is None else jnp.zeros_like(dy_scale)
     return (dx, dw1.astype(w1.dtype), db1.astype(b1.dtype),
             dw2.astype(w2.dtype), db2.astype(b1.dtype), de, ds)
 
 
-fused_expert_ffn.defvjp(_ffn_fwd, _ffn_bwd)
+_fused_expert_ffn_vjp.defvjp(_ffn_fwd, _ffn_bwd)

@@ -15,6 +15,23 @@ from collections import defaultdict, deque
 import numpy as np
 
 
+def _device_max_mem_mb() -> typ.Optional[float]:
+    """Peak device-memory use in MB, or None when the backend doesn't report
+    it (reference prints CUDA max mem each log line, utils.py:186-203)."""
+    try:
+        import jax
+
+        stats = jax.local_devices()[0].memory_stats()
+    except Exception:  # noqa: BLE001 - never let logging break training
+        return None
+    if not stats:
+        return None
+    peak = stats.get("peak_bytes_in_use")
+    if peak is None:
+        return None
+    return peak / (1024.0 * 1024.0)
+
+
 class SmoothedValue:
     """Track a series of values; smoothed window stats + global average
     (reference utils.py:55-115)."""
@@ -113,19 +130,24 @@ class MetricLogger:
         iter_time = SmoothedValue(fmt="{avg:.4f}")
         data_time = SmoothedValue(fmt="{avg:.4f}")
         space_fmt = ":" + str(len(str(total))) + "d"
-        log_msg = self.delimiter.join([
-            header, "[{0" + space_fmt + "}/{1}]", "eta: {eta}", "{meters}",
-            "time: {time}", "data: {data}",
-        ])
+        has_mem = _device_max_mem_mb() is not None
+        log_msg = self.delimiter.join(
+            [header, "[{0" + space_fmt + "}/{1}]", "eta: {eta}", "{meters}",
+             "time: {time}", "data: {data}"]
+            + (["max mem: {memory:.0f}MB"] if has_mem else [])
+        )
         for obj in iterable:
             data_time.update(time.time() - end)
             yield obj
             iter_time.update(time.time() - end)
             if i % print_freq == 0 or i == total - 1:
                 eta = iter_time.global_avg * (total - i)
+                extra = ({"memory": _device_max_mem_mb() or 0.0}
+                         if has_mem else {})
                 print(log_msg.format(
                     i, total, eta=str(datetime.timedelta(seconds=int(eta))),
                     meters=str(self), time=str(iter_time), data=str(data_time),
+                    **extra,
                 ))
             i += 1
             end = time.time()

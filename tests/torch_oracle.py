@@ -50,9 +50,16 @@ class OracleGate(nn.Module):
 
 
 class OracleMoE(nn.Module):
-    """FastMoE NaiveGate + dropless expert FFN (resMoE.py:15-29)."""
+    """FastMoE NaiveGate + dropless expert FFN (resMoE.py:15-29).
 
-    def __init__(self, dim, hidden, num_experts, top_k):
+    ``capacity``: optional static per-expert slot count. Token-major priority
+    — the p-th (token, choice) pair in flat order wins a slot iff fewer than
+    ``capacity`` earlier pairs chose the same expert; dropped pairs contribute
+    zero to the combine (the rebuild's capacity/capacity_fused semantics,
+    ``ops/moe.py::make_dispatch`` / ``aligned_expert_layout``).
+    """
+
+    def __init__(self, dim, hidden, num_experts, top_k, capacity=None):
         super().__init__()
         self.router = nn.Linear(dim, num_experts)
         self.w1 = nn.Parameter(torch.zeros(num_experts, dim, hidden))
@@ -60,6 +67,7 @@ class OracleMoE(nn.Module):
         self.w2 = nn.Parameter(torch.zeros(num_experts, hidden, dim))
         self.b2 = nn.Parameter(torch.zeros(num_experts, dim))
         self.top_k = top_k
+        self.capacity = capacity
 
     def forward(self, x):
         B, N, d = x.shape
@@ -67,8 +75,15 @@ class OracleMoE(nn.Module):
         logits = self.router(flat.float())
         vals, idx = torch.topk(logits, self.top_k, dim=-1)
         gate_w = torch.softmax(vals, dim=-1)            # over selected only
-        y = torch.zeros_like(flat)
         E = self.w1.shape[0]
+        if self.capacity is not None:
+            flat_idx = idx.reshape(-1)                  # (T*k) token-major
+            onehot = F.one_hot(flat_idx, E).to(torch.int64)
+            rank = (onehot.cumsum(0) - onehot).gather(
+                1, flat_idx[:, None])[:, 0]
+            keep = (rank < self.capacity).reshape(-1, self.top_k)
+            gate_w = gate_w * keep.float()              # dropped -> 0 weight
+        y = torch.zeros_like(flat)
         for e in range(E):
             for kk in range(self.top_k):
                 sel = idx[:, kk] == e
@@ -132,7 +147,7 @@ class OracleResMoEBlock(nn.Module):
 class OracleResMoEViT(nn.Module):
     def __init__(self, img_size=32, patch_size=16, dim=192, depth=12,
                  num_heads=3, mlp_ratio=4.0, num_experts=8, top_k=2,
-                 num_classes=10):
+                 num_classes=10, capacity=None):
         super().__init__()
         self.patch_size = patch_size
         self.grid = img_size // patch_size
@@ -144,6 +159,9 @@ class OracleResMoEViT(nn.Module):
                               num_experts, top_k)
             for _ in range(depth)
         ])
+        if capacity is not None:
+            for blk in self.blocks:
+                blk.mlp.capacity = capacity
         self.norm = nn.LayerNorm(dim, eps=1e-6)
         self.head = nn.Linear(dim, num_classes)
 
@@ -162,6 +180,83 @@ class OracleResMoEViT(nn.Module):
             x = blk(x, threshold)
         x = self.norm(x)
         return self.head(x[:, 0])
+
+
+class OracleMlp(nn.Module):
+    """timm Mlp: fc1 -> exact GELU -> fc2 (vision_transformer.py Block MLP)."""
+
+    def __init__(self, dim, hidden):
+        super().__init__()
+        self.fc1 = nn.Linear(dim, hidden)
+        self.fc2 = nn.Linear(hidden, dim)
+
+    def forward(self, x):
+        return self.fc2(F.gelu(self.fc1(x), approximate="none"))
+
+
+class OracleBlock(nn.Module):
+    """Plain pre-LN block (vision_transformer.py:283-322)."""
+
+    def __init__(self, dim, num_heads, hidden):
+        super().__init__()
+        self.norm1 = nn.LayerNorm(dim, eps=1e-6)
+        self.norm2 = nn.LayerNorm(dim, eps=1e-6)
+        self.attn = OracleAttention(dim, num_heads)
+        self.mlp = OracleMlp(dim, hidden)
+
+    def forward(self, x):
+        x = x + self.attn(self.norm1(x))
+        x = x + self.mlp(self.norm2(x))
+        return x
+
+
+class OracleViT(nn.Module):
+    """Dense DeiT, optionally distilled (models/model.py:32-77): dist token +
+    second head; training returns both head outputs, eval averages them."""
+
+    def __init__(self, img_size=32, patch_size=16, dim=192, depth=12,
+                 num_heads=3, mlp_ratio=4.0, num_classes=10, distilled=False):
+        super().__init__()
+        self.patch_size = patch_size
+        self.grid = img_size // patch_size
+        self.distilled = distilled
+        n_extra = 2 if distilled else 1
+        self.proj = nn.Linear(patch_size * patch_size * 3, dim)
+        self.cls_token = nn.Parameter(torch.zeros(1, 1, dim))
+        if distilled:
+            self.dist_token = nn.Parameter(torch.zeros(1, 1, dim))
+        self.pos_embed = nn.Parameter(
+            torch.zeros(1, self.grid ** 2 + n_extra, dim))
+        self.blocks = nn.ModuleList([
+            OracleBlock(dim, num_heads, int(dim * mlp_ratio))
+            for _ in range(depth)
+        ])
+        self.norm = nn.LayerNorm(dim, eps=1e-6)
+        self.head = nn.Linear(dim, num_classes)
+        if distilled:
+            self.head_dist = nn.Linear(dim, num_classes)
+
+    def forward(self, x, train=False):
+        B, H, W, C = x.shape
+        p = self.patch_size
+        g = H // p
+        x = x.reshape(B, g, p, g, p, C).permute(0, 1, 3, 2, 4, 5)
+        x = x.reshape(B, g * g, p * p * C)
+        x = self.proj(x)
+        toks = [self.cls_token.expand(B, -1, -1)]
+        if self.distilled:
+            toks.append(self.dist_token.expand(B, -1, -1))
+        x = torch.cat(toks + [x], dim=1) + self.pos_embed
+        for blk in self.blocks:
+            x = blk(x)
+        x = self.norm(x)
+        logits = self.head(x[:, 0])
+        if not self.distilled:
+            return logits
+        logits_dist = self.head_dist(x[:, 1])
+        if train:
+            return logits, logits_dist
+        return (logits + logits_dist) / 2.0
 
 
 def smoothed_ce(logits, targets, smoothing=0.1):
@@ -207,6 +302,76 @@ def load_from_flax(model: OracleResMoEViT, params: dict):
         sd[pre + "mlp.w2"] = _t(m["expert_fc2_kernel"])
         sd[pre + "mlp.b2"] = _t(m["expert_fc2_bias"])
     model.load_state_dict(sd)
+
+
+def load_from_flax_vit(model: OracleViT, params: dict):
+    """Transfer this repo's flax dense/distilled deit params into OracleViT."""
+    sd = {}
+    sd["proj.weight"] = _t(params["patch_embed"]["proj"]["kernel"]).T
+    sd["proj.bias"] = _t(params["patch_embed"]["proj"]["bias"])
+    sd["cls_token"] = _t(params["cls_token"])
+    sd["pos_embed"] = _t(params["pos_embed"])
+    sd["norm.weight"] = _t(params["norm"]["scale"])
+    sd["norm.bias"] = _t(params["norm"]["bias"])
+    sd["head.weight"] = _t(params["head"]["kernel"]).T
+    sd["head.bias"] = _t(params["head"]["bias"])
+    if model.distilled:
+        sd["dist_token"] = _t(params["dist_token"])
+        sd["head_dist.weight"] = _t(params["head_dist"]["kernel"]).T
+        sd["head_dist.bias"] = _t(params["head_dist"]["bias"])
+    for i in range(len(model.blocks)):
+        b = params[f"blocks_{i}"]
+        pre = f"blocks.{i}."
+        for ln in ("norm1", "norm2"):
+            sd[pre + ln + ".weight"] = _t(b[ln]["scale"])
+            sd[pre + ln + ".bias"] = _t(b[ln]["bias"])
+        sd[pre + "attn.qkv.weight"] = _t(b["attn"]["qkv"]["kernel"]).T
+        sd[pre + "attn.qkv.bias"] = _t(b["attn"]["qkv"]["bias"])
+        sd[pre + "attn.proj.weight"] = _t(b["attn"]["proj"]["kernel"]).T
+        sd[pre + "attn.proj.bias"] = _t(b["attn"]["proj"]["bias"])
+        sd[pre + "mlp.fc1.weight"] = _t(b["mlp"]["fc1"]["kernel"]).T
+        sd[pre + "mlp.fc1.bias"] = _t(b["mlp"]["fc1"]["bias"])
+        sd[pre + "mlp.fc2.weight"] = _t(b["mlp"]["fc2"]["kernel"]).T
+        sd[pre + "mlp.fc2.bias"] = _t(b["mlp"]["fc2"]["bias"])
+    model.load_state_dict(sd)
+
+
+def soft_distill_loss(base, outputs_kd, teacher_logits, alpha, tau):
+    """reference losses.py:53-72: KL at temperature tau, x tau^2 / numel,
+    blended with the base loss by alpha."""
+    T = tau
+    kd = F.kl_div(
+        F.log_softmax(outputs_kd / T, dim=-1),
+        F.log_softmax(teacher_logits / T, dim=-1),
+        reduction="sum", log_target=True,
+    ) * (T * T) / outputs_kd.numel()
+    return base * (1.0 - alpha) + kd * alpha
+
+
+def train_losses_distilled(student: OracleViT, teacher: OracleViT,
+                           images: np.ndarray, labels: np.ndarray,
+                           steps: int, lr: float, alpha: float, tau: float,
+                           smoothing: float = 0.1):
+    """Distilled-deit training: base smoothed CE on the cls head + soft KD on
+    the dist head vs the frozen teacher (reference main.py:666-694 +
+    losses.py:28-73)."""
+    opt = make_optimizer(student, lr, lr)
+    teacher.eval()
+    losses = []
+    nb = images.shape[0]
+    for s in range(steps):
+        x = torch.from_numpy(images[s % nb])
+        y = torch.from_numpy(labels[s % nb])
+        with torch.no_grad():
+            t_logits = teacher(x)
+        logits, logits_kd = student(x, train=True)
+        base = smoothed_ce(logits, y, smoothing)
+        loss = soft_distill_loss(base, logits_kd, t_logits, alpha, tau)
+        opt.zero_grad()
+        loss.backward()
+        opt.step()
+        losses.append(float(loss))
+    return losses
 
 
 def make_optimizer(model: OracleResMoEViT, lr: float, gate_lr: float,
