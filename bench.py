@@ -13,9 +13,10 @@ take down the flagship line:
 
 Measurement notes (this environment's axon TPU tunnel):
 - ``block_until_ready`` does not reliably wait — only a value fetch forces
-  execution. Each measurement runs K steps inside ONE jitted ``lax.scan``
-  and fetches the final loss, so the timing covers real device time with a
-  single ~25 ms tunnel round-trip amortized over K steps.
+  execution. Train measurements dispatch K donated per-call steps (the
+  main.py hot loop exactly; host dispatch hides under the device step) and
+  fetch one loss, amortizing the ~25 ms tunnel round-trip over K steps;
+  the eval measurement scans K forwards inside one jit.
 
 ``vs_baseline``: the reference publishes no numbers (BASELINE.md), so the
 ratio is vs the north-star target from BASELINE.json — 90% of the analytic
@@ -59,31 +60,27 @@ def _measure_train(name, batch=128, img=224, K=40, reps=3, **model_kwargs):
     state = create_train_state(model, (1, img, img, 3), opt_init=opt_init,
                                use_ema=True)
     crit = losses.make_base_criterion(False, 0.1, False)
+    # per-step dispatch with donated buffers — EXACTLY the main.py hot loop
+    # (engine.train_one_epoch). Measured r3 vs a lax.scan harness: 83.2 vs
+    # 84.2 ms/step at the flagship shape (the scan carry costs ~1 ms/step),
+    # and the ~4.3 ms/step host dispatch hides entirely under the device
+    # step. One value fetch per K steps amortizes the ~27 ms tunnel RTT.
     step = make_train_step(model, opt_update, crit, ema_decay=0.99996,
-                           donate=False)
-    inner = getattr(step, "__wrapped__", step)
+                           donate=True)
 
     x = jnp.asarray(np.random.RandomState(0).randn(batch, img, img, 3),
                     jnp.float32)
     y = jnp.asarray(np.random.RandomState(1).randint(0, 1000, batch))
     lr = jnp.float32(1e-3)
 
-    @jax.jit
-    def k_steps(state):
-        def body(s, _):
-            s, metrics = inner(s, x, y, lr, lr)
-            return s, metrics["loss"]
-
-        state, losses_ = jax.lax.scan(body, state, None, length=K)
-        return state, losses_[-1]
-
-    state, loss = k_steps(state)
-    _ = float(loss)  # warmup / compile
+    state, metrics = step(state, x, y, lr, lr)
+    _ = float(metrics["loss"])  # warmup / compile
     times = []
     for _ in range(reps):
         t0 = time.perf_counter()
-        state, loss = k_steps(state)
-        _ = float(loss)
+        for _ in range(K):
+            state, metrics = step(state, x, y, lr, lr)
+        _ = float(metrics["loss"])
         times.append(time.perf_counter() - t0)
     return batch * K / min(times)
 

@@ -38,7 +38,17 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-TILE_ROWS = 256    # layout alignment + fwd/bwd row tile
+TILE_ROWS = 256    # layout alignment + forward/backward row tile
+# Optional bigger backward tile: amortizes the per-step dw VMEM accumulates.
+# Measured (scripts/bench_ffn_bwd_r3.py, flagship shape): 256->2.307
+# ms/block, 512->2.019, 640->2.025, 768->2.006 vs the 1.57 5-GEMM peak
+# (standalone); in-model the 512 path runs 7.7% faster per row but the
+# static layout padding grows E*(512-256) rows = +4.4%, which the forward
+# and every dispatch gather then pay — net ZERO end-to-end, so production
+# stays on TILE_ROWS. The plumbing is kept (fused_expert_ffn(layout_rows=
+# LAYOUT_ROWS) + aligned_expert_layout(tile=LAYOUT_ROWS)) for shapes where
+# the trade flips (bigger batches dilute the fixed padding).
+LAYOUT_ROWS = 512
 
 _SQRT_2_OVER_PI = 0.7978845608028654
 
@@ -242,7 +252,7 @@ def _bwd_kernel(e_ref, dy_ref, x_ref, w1_ref, b1_ref, w2_ref, ws_ref,
                         (db2_ref, db2)])
 
 
-def _bwd(dy, xs, w1, b1, w2, e_of_tile, dy_scale=None):
+def _bwd(dy, xs, w1, b1, w2, e_of_tile, dy_scale=None, tile=TILE_ROWS):
     """dx (as 2 half-hidden partials), dw1, db1, dw2, db2 in one pallas_call.
 
     Grid (2, n_tiles): the outer dim picks a hidden half, the inner streams
@@ -250,26 +260,32 @@ def _bwd(dy, xs, w1, b1, w2, e_of_tile, dy_scale=None):
     run, accumulating in VMEM f32 and flushing once. db2 does not depend on
     the hidden half, so it is written per-half and the caller keeps half 0.
     ``dy_scale``: optional (Tp,) per-row factor multiplied into dy in-kernel.
+    ``tile``: row-tile size — every group must be ``tile``-aligned; callers
+    whose layout is LAYOUT_ROWS-aligned pass LAYOUT_ROWS here (e_of_tile
+    stays at TILE_ROWS granularity and is subsampled).
     """
     Tp, D = xs.shape
     E, _, H = w1.shape
     H2 = H // 2
-    n_tiles = Tp // TILE_ROWS
+    n_tiles = Tp // tile
+    if tile != TILE_ROWS:
+        assert tile % TILE_ROWS == 0 and Tp % tile == 0
+        e_of_tile = e_of_tile[:: tile // TILE_ROWS]
     has_scale = dy_scale is not None
-    # f32 column vector (Tp, 1), block (TILE_ROWS, 1): the obvious
-    # lane-major (1, 1, TILE_ROWS) bf16 block crashes the Mosaic compiler
+    # f32 column vector (Tp, 1), block (tile, 1): the obvious
+    # lane-major (1, 1, tile) bf16 block crashes the Mosaic compiler
     ws2d = (dy_scale.astype(jnp.float32)[:, None] if has_scale
             else jnp.zeros((8, 1), jnp.float32))
-    ws_spec = (pl.BlockSpec((TILE_ROWS, 1), lambda hh, i, e: (i, 0))
+    ws_spec = (pl.BlockSpec((tile, 1), lambda hh, i, e: (i, 0))
                if has_scale
                else pl.BlockSpec((8, 1), lambda hh, i, e: (0, 0)))
-    row_d = pl.BlockSpec((1, TILE_ROWS, D), lambda hh, i, e: (hh, i, 0))
+    row_d = pl.BlockSpec((1, tile, D), lambda hh, i, e: (hh, i, 0))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(2, n_tiles),
         in_specs=[
-            pl.BlockSpec((TILE_ROWS, D), lambda hh, i, e: (i, 0)),
-            pl.BlockSpec((TILE_ROWS, D), lambda hh, i, e: (i, 0)),
+            pl.BlockSpec((tile, D), lambda hh, i, e: (i, 0)),
+            pl.BlockSpec((tile, D), lambda hh, i, e: (i, 0)),
             pl.BlockSpec((1, D, H2), lambda hh, i, e: (e[i], 0, hh)),
             pl.BlockSpec((1, 1, H2), lambda hh, i, e: (e[i], 0, hh)),
             pl.BlockSpec((1, H2, D), lambda hh, i, e: (e[i], hh, 0)),
@@ -304,43 +320,52 @@ def _bwd(dy, xs, w1, b1, w2, e_of_tile, dy_scale=None):
 # public op with custom VJP
 # ---------------------------------------------------------------------------
 
-@jax.custom_vjp
-def _fused_expert_ffn_vjp(xs, w1, b1, w2, b2, e_of_tile, dy_scale):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _fused_expert_ffn_vjp(layout_rows, xs, w1, b1, w2, b2, e_of_tile,
+                          dy_scale):
     return _fwd(xs, w1, b1, w2, b2, e_of_tile)
 
 
-def fused_expert_ffn(xs, w1, b1, w2, b2, e_of_tile, dy_scale=None):
+def fused_expert_ffn(xs, w1, b1, w2, b2, e_of_tile, dy_scale=None,
+                     layout_rows: int = TILE_ROWS):
     """fc2(GELU(fc1(xs))) with per-tile expert weights.
 
     Args:
-        xs: (Tp, D) tokens, sorted by expert, groups 128-row aligned,
-            Tp a multiple of 128.
+        xs: (Tp, D) tokens, sorted by expert, groups TILE_ROWS-aligned,
+            Tp a multiple of TILE_ROWS.
         w1/b1/w2/b2: (E, D, H) / (E, H) / (E, H, D) / (E, D).
-        e_of_tile: (Tp // 128,) int32 — owning expert of each row tile.
+        e_of_tile: (Tp // TILE_ROWS,) int32 — owning expert of each row tile.
         dy_scale: optional (Tp,) per-row factor applied to the incoming
             cotangent in backward (the combine weights, 0 at padding slots) —
             lets the combine VJP hand over a raw row gather. NON-differentiable
             by contract: stop_gradient is applied here so a caller passing
             live combine weights gets an explicitly severed tangent (the VJP
             returns zero for this slot), never silently-wrong gradients.
+        layout_rows: the alignment the caller's layout actually guarantees
+            (static). When >= LAYOUT_ROWS the backward runs LAYOUT_ROWS-row
+            tiles — measured 2.307 -> 2.02 ms/block at the flagship shape.
     Returns:
         (Tp, D) in xs.dtype.
     """
     if dy_scale is not None:
         dy_scale = jax.lax.stop_gradient(dy_scale)
-    return _fused_expert_ffn_vjp(xs, w1, b1, w2, b2, e_of_tile, dy_scale)
+    return _fused_expert_ffn_vjp(layout_rows, xs, w1, b1, w2, b2, e_of_tile,
+                                 dy_scale)
 
 
-def _ffn_fwd(xs, w1, b1, w2, b2, e_of_tile, dy_scale):
+def _ffn_fwd(layout_rows, xs, w1, b1, w2, b2, e_of_tile, dy_scale):
     y = _fwd(xs, w1, b1, w2, b2, e_of_tile)
     return y, (xs, w1, b1, w2, e_of_tile, dy_scale)
 
 
-def _ffn_bwd(res, dy):
+def _ffn_bwd(layout_rows, res, dy):
     xs, w1, b1, w2, e_of_tile, dy_scale = res
     dy = dy.astype(xs.dtype)
+    bwd_tile = (LAYOUT_ROWS if (layout_rows % LAYOUT_ROWS == 0
+                                and xs.shape[0] % LAYOUT_ROWS == 0)
+                else TILE_ROWS)
     dx, dw1, db1, dw2, db2 = _bwd(dy, xs, w1, b1, w2, e_of_tile,
-                                  dy_scale=dy_scale)
+                                  dy_scale=dy_scale, tile=bwd_tile)
     de = np.zeros(e_of_tile.shape, dtype=jax.dtypes.float0)
     # zero by contract — the public wrapper stop_gradients dy_scale
     ds = None if dy_scale is None else jnp.zeros_like(dy_scale)

@@ -519,6 +519,13 @@ def moe_forward_fused(x: jnp.ndarray, router_w, router_b, w1, b1, w2, b2, *,
     if capacity is None and capacity_factor is not None:
         capacity = compute_capacity(T, E, top_k, capacity_factor)
 
+    # TILE_ROWS-aligned groups. A LAYOUT_ROWS(512)-aligned variant was
+    # measured r3: the 512-row backward runs 7.7% faster per row (dw VMEM
+    # accumulates amortize) but the static padding grows E*(512-256) rows =
+    # +4.4%, which the forward kernel and every dispatch gather then pay —
+    # net ZERO end-to-end (84.2 vs 84.1 ms; scripts/bench_ffn_bwd_r3.py).
+    # To re-enable: tile=LAYOUT_ROWS here, repeat e_of_tile, and pass
+    # layout_rows=LAYOUT_ROWS to fused_expert_ffn.
     gather_idx, pair_slot, e_of_tile, w_slot, keep = aligned_expert_layout(
         expert_idx, E, gate_w=gate_w, weight_dtype=x.dtype,
         capacity=capacity)
