@@ -374,7 +374,8 @@ def build_device_augment(*, input_size: int, aa: typ.Optional[str] = "rand-m9-ms
     return augment
 
 
-def build_eval_normalize(mean=IMAGENET_DEFAULT_MEAN, std=IMAGENET_DEFAULT_STD):
+def build_eval_normalize(mean=IMAGENET_DEFAULT_MEAN, std=IMAGENET_DEFAULT_STD,
+                         dtype=None):
     # numpy (not jnp) constants: device-resident closure constants force a
     # device->host fetch during MLIR lowering, which stalls behind the TPU
     # tunnel; numpy constants embed directly.
@@ -384,6 +385,13 @@ def build_eval_normalize(mean=IMAGENET_DEFAULT_MEAN, std=IMAGENET_DEFAULT_STD):
     std_a = np.asarray(std, np.float32) * 255.0
 
     def normalize(images):
-        return (images.astype(jnp.float32) - mean_a) / std_a
+        y = (images.astype(jnp.float32) - mean_a) / std_a
+        if dtype is not None:
+            # emit the model's compute dtype so XLA fuses subtract+divide+
+            # convert into ONE pass over the (B, 224, 224, 3) batch — as two
+            # passes the f32 intermediate costs ~0.5 ms/forward at b256
+            # (scripts/profile_eval.py; the model casts right after anyway)
+            y = y.astype(dtype)
+        return y
 
     return normalize

@@ -162,7 +162,7 @@ def main(args):
         color_jitter=args.color_jitter, reprob=args.reprob,
         recount=args.recount, three_augment=args.ThreeAugment,
     )
-    eval_normalize = build_eval_normalize()
+    eval_normalize = build_eval_normalize(dtype=_dtype(args))
 
     # Optimizer + state
     betas = tuple(args.opt_betas) if args.opt_betas else (0.9, 0.999)

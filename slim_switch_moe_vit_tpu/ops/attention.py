@@ -259,11 +259,20 @@ def _samples_per_cell(B: int, nb: int, row_bytes: int, bwd: bool = False) -> int
     backward is ~5% faster at G=2 (more independent chains hide the longer
     MXU/VPU dependency path; scripts/bench_mha_variants.py) — but only while
     the double-buffered operand blocks fit VMEM (at N=577 G=2 is a hard
-    scoped-vmem OOM: 22.6M vs the 16M limit)."""
+    scoped-vmem OOM: 22.6M vs the 16M limit).
+
+    At SMALL per-sample blocks (deit-tiny eval: C=192, 3 heads — each
+    (sample, head) chain is a latency-bound 208x64 dot pair) the forward
+    flips: G=2 measured 18% faster than G=1 at b256/C=192 (0.295 vs 0.359
+    ms), G>=8 slower again; at ViT-S (C=384) G=2 is 15% SLOWER (0.358 vs
+    0.311). The 1.5 MiB bound on the double-buffered pair separates the two
+    regimes (tiny 1.28 MiB, S 2.56 MiB)."""
+    per_sample = nb * row_bytes
     if bwd and B % 2 == 0:
-        per_sample = nb * row_bytes
         if 2 * per_sample * 2 <= 11 * 2 ** 20:  # 2 samples, double-buffered
             return 2
+    if not bwd and B % 2 == 0 and 2 * per_sample * 2 <= (3 * 2 ** 20) // 2:
+        return 2
     return 1
 
 

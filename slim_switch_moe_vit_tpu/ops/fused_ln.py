@@ -44,7 +44,13 @@ def _row_tile(rows: int) -> typ.Optional[int]:
 def _batch_tile(b: int, n: int, d: int, itemsize: int = 2) -> int:
     """Samples per grid cell, capped so the four double-buffered (G, N, D)
     operand blocks stay within scoped VMEM (at 384px/N=577, G=8 was a hard
-    compile OOM: 20.5M vs the 16M limit)."""
+    compile OOM: 20.5M vs the 16M limit).
+
+    G=1 was tried r3 for small D (a dot->LN->dot microchain measured it 23%
+    faster at (256,197,192), suggesting the {2,0,1} operand layout of G>1
+    blocks caused the per-block layout copy) — but IN-MODEL it ran the norm
+    total 1.99 -> 3.54 ms/forward and the copy remained (the microchain's
+    consumer pattern differs). Keep the VMEM-bounded G."""
     per_sample = 4 * n * d * itemsize * 2  # 4 row operands, double-buffered
     for cand in (8, 4, 2):
         if b % cand == 0 and cand * per_sample <= 10 * 2 ** 20:
