@@ -50,10 +50,18 @@ def _batch_tile(b: int, n: int, d: int, itemsize: int = 2) -> int:
     faster at (256,197,192), suggesting the {2,0,1} operand layout of G>1
     blocks caused the per-block layout copy) — but IN-MODEL it ran the norm
     total 1.99 -> 3.54 ms/forward and the copy remained (the microchain's
-    consumer pattern differs). Keep the VMEM-bounded G."""
-    per_sample = 4 * n * d * itemsize * 2  # 4 row operands, double-buffered
+    consumer pattern differs). Keep the VMEM-bounded G.
+
+    The budget must count the KERNEL STACK, not just the operand blocks: the
+    backward keeps ~6 live (G, N, D) f32 temporaries (u32, dy, d, xhat, dyg,
+    du), which at G=8/(197,384) is ~18M scoped — over the 16M limit whenever
+    Mosaic's liveness scheduling doesn't collapse them (r3: the ViT-S compact
+    model hit exactly this as a compile OOM while the parity model squeaked
+    by). 6*G*N*D*4 (stack) + 4*G*N*D*2*itemsize (double-buffered operand
+    blocks) <= 13M keeps a margin."""
+    per_sample = 6 * n * d * 4 + 4 * n * d * itemsize * 2
     for cand in (8, 4, 2):
-        if b % cand == 0 and cand * per_sample <= 10 * 2 ** 20:
+        if b % cand == 0 and cand * per_sample <= 13 * 2 ** 20:
             return cand
     return 1
 
