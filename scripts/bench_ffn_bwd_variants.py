@@ -21,7 +21,14 @@ K = 20
 
 def timed(name, fn, *args):
     """Trace-based: report the pallas/gemm kernel's own device time, excluding
-    the scan-carry harness (which costs ~0.7 ms/iter at these sizes)."""
+    the scan-carry harness (which costs ~0.7 ms/iter at these sizes).
+
+    DCE HAZARD: the scan carry consumes only element [0] of the output, which
+    is fine for OPAQUE ops (pallas_call, single XLA gather/dot) but lets XLA
+    slice straight through concatenate/elementwise compositions — r3 measured
+    a 'split gather' variant at exactly 1/p of the real cost because p-1 of
+    the p gathers were dead-code-eliminated. For composite XLA expressions,
+    consume the FULL output (out.sum()) and subtract a sum-baseline."""
     from slim_switch_moe_vit_tpu.utils.profiling import trace, summarize_trace
 
     @jax.jit
