@@ -64,14 +64,9 @@ def build_model(args, nb_classes: int):
     if "moe" in name:
         dispatch = args.moe_dispatch
         if dispatch == "auto" and args.expert_parallel > 1:
-            dispatch = "capacity"  # EP all_to_all needs static buffers
-        elif dispatch == "capacity_fused" and args.expert_parallel > 1:
-            # the fused kernel's pallas_call is opaque to GSPMD: experts
-            # would silently replicate (no all_to_all) instead of sharding
-            raise ValueError(
-                "--moe-dispatch capacity_fused cannot shard experts "
-                "(pallas_call is opaque to GSPMD); use --moe-dispatch "
-                "capacity (or auto) with --expert-parallel > 1")
+            dispatch = "capacity"  # GSPMD EP default (all_to_all buffers);
+            # explicit --moe-dispatch capacity_fused selects the shard_map
+            # EP form that keeps the fused Pallas kernel per expert shard
         kwargs.update(
             starting_threshold=args.starting_threshold,
             target_threshold=args.target_threshold,

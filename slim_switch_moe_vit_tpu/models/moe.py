@@ -35,8 +35,12 @@ class MoEMlp(nn.Module):
       parallelism (all_to_all needs fixed shapes) and capacity-factor sweeps.
     - 'capacity_fused': same capacity-dropping semantics (token-major
       priority, identical outputs to 'capacity') dispatched via the
-      counting-sort layout + fused Pallas FFN — the fast single-chip form;
-      NOT expert-parallel capable (a pallas_call is opaque to GSPMD).
+      counting-sort layout + fused Pallas FFN — the fast single-chip form.
+      Under a mesh with a >1 expert axis it switches to the shard_map EP
+      form (ops/moe.py::moe_forward_fused_ep): the fused kernel runs per
+      expert shard (GSPMD cannot partition a pallas_call), partials psum
+      over the expert axis; capacity priority is per data shard (FastMoE's
+      per-rank order).
     - 'expert_choice': experts pick their top-capacity tokens (Zhou et al.
       2022) — perfectly balanced, sort-free; NOT FastMoE parity.
     - 'dense': exact O(E) oracle (tests/parity only).
@@ -97,10 +101,21 @@ class MoEMlp(nn.Module):
                 flat, router_w, router_b, w1, b1, w2, b2, top_k=self.top_k,
             )
         elif mode == "capacity_fused":
-            y, aux = moe_ops.moe_forward_fused(
-                flat, router_w, router_b, w1, b1, w2, b2, top_k=self.top_k,
-                capacity_factor=cf,
-            )
+            from ..parallel.sharding import mesh_axis_size
+
+            if mesh_axis_size(EXPERT_AXIS) > 1:
+                # expert-parallel form: shard_map keeps the fused Pallas
+                # kernel per expert shard (GSPMD cannot partition a
+                # pallas_call); psum over the expert axis combines
+                y, aux = moe_ops.moe_forward_fused_ep(
+                    flat, router_w, router_b, w1, b1, w2, b2,
+                    top_k=self.top_k, capacity_factor=cf,
+                )
+            else:
+                y, aux = moe_ops.moe_forward_fused(
+                    flat, router_w, router_b, w1, b1, w2, b2,
+                    top_k=self.top_k, capacity_factor=cf,
+                )
         elif mode == "ragged":
             y, aux = moe_ops.moe_forward_ragged(
                 flat, router_w, router_b, w1, b1, w2, b2,

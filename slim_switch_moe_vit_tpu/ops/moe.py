@@ -547,6 +547,102 @@ def moe_forward_fused(x: jnp.ndarray, router_w, router_b, w1, b1, w2, b2, *,
     return y.astype(x.dtype), aux
 
 
+def moe_forward_fused_ep(x: jnp.ndarray, router_w, router_b, w1, b1, w2,
+                         b2, *, top_k: int = 2,
+                         capacity_factor: float = 2.0,
+                         capacity: typ.Optional[int] = None):
+    """Expert-parallel ``capacity_fused``: the fused Pallas FFN under
+    ``shard_map`` over the (data, expert) mesh.
+
+    GSPMD cannot partition a ``pallas_call``, so the GSPMD EP path
+    (``moe_forward``) uses XLA scatter buffers. This variant keeps the fused
+    kernel: inside shard_map each expert shard
+
+    1. computes the routing + counting-sort capacity layout for its LOCAL
+       data shard's tokens (replicated work, no communication),
+    2. slices the STATIC row region of its own experts (capacity regions are
+       tile-aligned constants), gathers only those rows,
+    3. runs the fused Pallas FFN on its local experts,
+    4. combines its partial (T_local, d) output and ``psum``s over the
+       expert axis (every token's k expert rows live on <= k shards).
+
+    Semantics: token-major capacity priority PER DATA SHARD — FastMoE's
+    per-rank processing order (``fmoe`` routes each rank's local batch; the
+    reference instantiates world_size=1, ``resMoE.py:27-29``). With one data
+    shard this is bit-identical to single-chip ``moe_forward_fused``; the
+    single-device-parity and 2x4-mesh tests pin both
+    (tests/test_parallel.py).
+
+    The expert-axis collective is a psum of the (T_local, d) partials rather
+    than an all_to_all of dispatched rows: with top-k=2 at most 2 shards
+    contribute nonzero rows per token, so a2a moves ~k/ep of the psum bytes —
+    but psum rides XLA's bandwidth-optimal ICI ring with zero layout
+    machinery, and the dispatch stays the measured-fast counting-sort +
+    row-gather path. Revisit if ICI ever profiles as the bottleneck.
+    """
+    from ..parallel.sharding import DATA_AXIS, EXPERT_AXIS, mesh_axis_size
+    from .fused_ffn import TILE_ROWS, fused_expert_ffn
+
+    E = w1.shape[0]
+    ep = mesh_axis_size(EXPERT_AXIS)
+    assert E % ep == 0, (E, ep)
+
+    def local_fn(x, router_w, router_b, w1, b1, w2, b2):
+        T, d = x.shape                      # this data shard's tokens
+        E_local = w1.shape[0]               # this expert shard's experts
+        logits = jnp.dot(x.astype(jnp.float32),
+                         router_w.astype(jnp.float32)) + router_b
+        gate_w, expert_idx = naive_topk_gate(logits, top_k)
+        cap = capacity
+        if cap is None:
+            cap = compute_capacity(T, E, top_k, capacity_factor)
+        gather_idx, pair_slot, _, w_slot, keep = aligned_expert_layout(
+            expert_idx, E, gate_w=gate_w, weight_dtype=x.dtype, capacity=cap)
+        Cp = ((cap + 1 + TILE_ROWS - 1) // TILE_ROWS) * TILE_ROWS
+        rows = E_local * Cp                 # my experts' static region
+        eidx = jax.lax.axis_index(EXPERT_AXIS)
+        start = eidx * rows
+        g_mine = jax.lax.dynamic_slice_in_dim(gather_idx, start, rows)
+        w_mine = jax.lax.dynamic_slice_in_dim(w_slot, start, rows)
+        slot_local = pair_slot - start
+        valid = (slot_local >= 0) & (slot_local < rows) & keep
+        # invalid pairs -> the region's last row, padding by construction
+        # (Cp >= capacity+1, so each expert region ends in a padding row with
+        # w_slot == 0): zero forward weight, zero d_out cotangent, and the
+        # valid mask zeroes the d_gate chain
+        slot_l = jnp.where(valid, slot_local, rows - 1)
+        xs_mine = _dispatch_gather(x, g_mine, slot_l, valid)
+        e_of_tile = jnp.asarray(np.repeat(
+            np.arange(E_local, dtype=np.int32), Cp // TILE_ROWS))
+        out_mine = fused_expert_ffn(
+            xs_mine, w1.astype(x.dtype), b1.astype(jnp.float32),
+            w2.astype(x.dtype), b2.astype(jnp.float32), e_of_tile)
+        gate_eff = gate_w * valid.astype(gate_w.dtype)
+        y_part = _combine_slots(out_mine, slot_l, gate_eff, g_mine, w_mine)
+        y = jax.lax.psum(y_part, EXPERT_AXIS)
+        balance = jax.lax.pmean(load_balance_loss(logits, expert_idx, E),
+                                DATA_AXIS)
+        dropf = jax.lax.pmean(1.0 - jnp.mean(keep.astype(jnp.float32)),
+                              DATA_AXIS)
+        return y, balance, dropf
+
+    P = jax.sharding.PartitionSpec
+    y, balance, dropf = jax.shard_map(
+        local_fn,
+        in_specs=(P(DATA_AXIS, None), P(), P(), P(EXPERT_AXIS, None, None),
+                  P(EXPERT_AXIS, None), P(EXPERT_AXIS, None, None),
+                  P(EXPERT_AXIS, None)),
+        out_specs=(P(DATA_AXIS, None), P(), P()),
+        # the vma checker can't see through pallas_call out_shapes; the
+        # variance reasoning: y_part varies over (data, expert) -> psum over
+        # expert leaves P(data); aux scalars are pmean'd over data and are
+        # expert-invariant (computed from expert-replicated x + router)
+        check_vma=False,
+    )(x, router_w, router_b, w1, b1, w2, b2)
+    return y.astype(x.dtype), {"balance_loss": balance,
+                               "drop_fraction": dropf}
+
+
 def moe_forward_expert_choice(x: jnp.ndarray, router_w, router_b, w1, b1,
                               w2, b2, *, capacity_factor: float = 2.0,
                               capacity: typ.Optional[int] = None,

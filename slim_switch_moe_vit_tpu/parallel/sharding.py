@@ -48,6 +48,17 @@ def active_mesh_axes() -> typ.FrozenSet[str]:
         return frozenset()
 
 
+def mesh_axis_size(name: str) -> int:
+    """Size of a mesh axis in the ambient mesh, or 1 when absent/no mesh."""
+    try:
+        mesh = jax.sharding.get_abstract_mesh()
+        if mesh is None or name not in mesh.axis_names:
+            return 1
+        return int(mesh.shape[name])
+    except Exception:  # noqa: BLE001 - no mesh in scope
+        return 1
+
+
 def constrain(x, spec: typ.Sequence[typ.Optional[str]]):
     """``with_sharding_constraint`` that degrades to identity with no mesh.
 
