@@ -67,6 +67,13 @@ class Attention(nn.Module):
 
         qkv = Dense(3 * C, use_bias=self.qkv_bias, dtype=self.dtype, name="qkv")(x)
 
+        # NOTE r3: a proj-folded inference kernel (ops/attention.py::
+        # fused_mha_proj + the _ProjParams stand-in) was integrated here and
+        # MEASURED SLOWER at deit-tiny b256 eval: the attn kernel grew 3.18
+        # -> 4.11 ms (per-head (nb,64)@(64,C) proj dots half-fill the MXU and
+        # serialize) while the removed XLA proj fusion only gave back 0.44,
+        # and the LN-operand layout copy it aimed at persisted (the seam is
+        # not proj->LN). Kept as a tested op for shapes where folding wins.
         if self._fused_ok(N, deterministic):
             from ..ops.attention import fused_mha
 

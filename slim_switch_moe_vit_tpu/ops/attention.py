@@ -332,6 +332,103 @@ def _fused_mha_bwd(num_heads, scale, interpret, qkv, do):
 fused_mha.defvjp(_fused_mha_fwd, _fused_mha_bwd)
 
 
+def _mha_fwd_proj_kernel(qkv_ref, wp_ref, bp_ref, y_ref, *, num_heads: int,
+                         scale: float, n: int):
+    """Forward MHA with the output projection folded in: y = (softmax(qk)v)
+    @ Wp + bp, accumulated per head (y = sum_h o_h @ Wp[h*d:(h+1)*d]) so the
+    (nb, C) attention output never leaves VMEM and the proj GEMM's HBM
+    round-trip + the XLA<->pallas layout seam disappear (the seam cost a
+    0.79 ms/fwd layout copy at deit-tiny b256 eval — scripts/profile_eval.py).
+    Masking identical to ``_mha_fwd_kernel``."""
+    C = y_ref.shape[-1]
+    d = C // num_heads
+    G, nb = qkv_ref.shape[0], qkv_ref.shape[1]
+    row = jax.lax.broadcasted_iota(jnp.int32, (nb, 1), 0)
+    col_ok = jax.lax.broadcasted_iota(jnp.int32, (nb, nb), 1) < n
+    for g in range(G):
+        acc = None
+        for h in range(num_heads):
+            q = qkv_ref[g, :, h * d:(h + 1) * d].astype(jnp.float32) * scale
+            k = qkv_ref[g, :, C + h * d:C + (h + 1) * d]
+            v = jnp.where(row < n,
+                          qkv_ref[g, :, 2 * C + h * d:2 * C + (h + 1) * d], 0)
+            s = jax.lax.dot_general(
+                q, k.astype(jnp.float32),
+                (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+            s = jnp.where(col_ok, s, -jnp.inf)
+            m = jnp.max(s, axis=-1, keepdims=True)
+            p = jnp.exp(s - m)
+            linv = 1.0 / jnp.sum(p, axis=-1, keepdims=True)
+            o = jnp.dot(p.astype(qkv_ref.dtype), v,
+                        preferred_element_type=jnp.float32)
+            ob = (o * linv).astype(qkv_ref.dtype)
+            part = jnp.dot(ob, wp_ref[h * d:(h + 1) * d, :],
+                           preferred_element_type=jnp.float32)
+            acc = part if acc is None else acc + part
+        y = acc + bp_ref[0].astype(jnp.float32)
+        y_ref[g] = y.astype(y_ref.dtype)
+
+
+def _mha_proj_fwd_call(qkv, wp, bp, num_heads, scale, interpret):
+    B, N, C3 = qkv.shape
+    C = C3 // 3
+    nb = _round_block_n(N)
+    G = _samples_per_cell(B, nb, (C3 + C) * qkv.dtype.itemsize)
+    return pl.pallas_call(
+        functools.partial(_mha_fwd_proj_kernel, num_heads=num_heads,
+                          scale=scale, n=N),
+        grid=(B // G,),
+        in_specs=[
+            pl.BlockSpec((G, nb, C3), lambda b: (b, 0, 0)),
+            pl.BlockSpec((C, C), lambda b: (0, 0)),
+            pl.BlockSpec((1, C), lambda b: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((G, nb, C), lambda b: (b, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((B, N, C), qkv.dtype),
+        interpret=interpret,
+    )(qkv, wp.astype(qkv.dtype), bp[None].astype(jnp.float32))
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def fused_mha_proj(qkv, wp, bp, num_heads: int, scale: float,
+                   interpret: bool = False):
+    """softmax(QK^T · scale)V @ Wp + bp over packed qkv, one kernel.
+
+    STATUS (r3): measured SLOWER than fused_mha + the XLA proj GEMM at
+    deit-tiny b256 eval (attn kernel 3.18 -> 4.11 ms/fwd vs 0.44 saved) —
+    the per-head (nb, d=64) @ (d, C) proj dots half-fill the MXU and
+    serialize behind each softmax chain, where XLA runs one big (B*N, C) @
+    (C, C) GEMM. NOT wired into the model (models/vit.py keeps the unfused
+    proj); kept as a tested op for shapes where the proj GEMM is
+    HBM-dominant. Under ``jax.grad`` the VJP recomputes through the unfused
+    reference.
+    """
+    return _mha_proj_fwd_call(qkv, wp, bp, num_heads, scale, interpret)
+
+
+def _mha_proj_ref(qkv, wp, bp, num_heads, scale):
+    o = fused_mha_reference(qkv, num_heads, scale)
+    return jnp.dot(o.astype(qkv.dtype), wp.astype(qkv.dtype),
+                   preferred_element_type=jnp.float32).astype(qkv.dtype) + \
+        bp.astype(qkv.dtype)
+
+
+def _mha_proj_fwd(qkv, wp, bp, num_heads, scale, interpret):
+    return _mha_proj_fwd_call(qkv, wp, bp, num_heads, scale, interpret), \
+        (qkv, wp, bp)
+
+
+def _mha_proj_bwd(num_heads, scale, interpret, res, dy):
+    qkv, wp, bp = res
+    _, vjp = jax.vjp(
+        lambda a, b, c: _mha_proj_ref(a, b, c, num_heads, scale),
+        qkv, wp, bp)
+    return vjp(dy.astype(qkv.dtype))
+
+
+fused_mha_proj.defvjp(_mha_proj_fwd, _mha_proj_bwd)
+
+
 def fused_mha_reference(qkv, num_heads: int, scale: float):
     """Unfused oracle over packed qkv, for tests."""
     B, N, C3 = qkv.shape

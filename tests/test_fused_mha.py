@@ -47,6 +47,48 @@ def test_fused_mha_grad_matches_oracle():
                                rtol=2e-3, atol=2e-3)
 
 
+@pytest.mark.parametrize("N", [197, 64])
+def test_fused_mha_proj_matches_unfused(N):
+    """Proj-folded inference kernel == fused_mha followed by the proj GEMM."""
+    from slim_switch_moe_vit_tpu.ops.attention import fused_mha_proj
+
+    B, H, d = 4, 3, 64
+    C = H * d
+    rng = np.random.RandomState(3)
+    qkv = jnp.asarray(rng.randn(B, N, 3 * C), jnp.float32)
+    wp = jnp.asarray(rng.randn(C, C) * 0.05, jnp.float32)
+    bp = jnp.asarray(rng.randn(C) * 0.1, jnp.float32)
+    got = fused_mha_proj(qkv, wp, bp, H, d ** -0.5, True)
+    want = jnp.dot(fused_mha_reference(qkv, H, d ** -0.5), wp) + bp
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=3e-4, atol=3e-4)
+
+
+def test_fused_mha_proj_grads_match_reference():
+    """The VJP (reference recompute) provides correct dqkv/dwp/dbp."""
+    from slim_switch_moe_vit_tpu.ops.attention import fused_mha_proj
+
+    B, N, H, d = 2, 64, 3, 32
+    C = H * d
+    rng = np.random.RandomState(4)
+    qkv = jnp.asarray(rng.randn(B, N, 3 * C), jnp.float32)
+    wp = jnp.asarray(rng.randn(C, C) * 0.05, jnp.float32)
+    bp = jnp.asarray(rng.randn(C) * 0.1, jnp.float32)
+
+    def loss_fused(qkv, wp, bp):
+        return jnp.sum(fused_mha_proj(qkv, wp, bp, H, d ** -0.5, True) ** 2)
+
+    def loss_ref(qkv, wp, bp):
+        y = jnp.dot(fused_mha_reference(qkv, H, d ** -0.5), wp) + bp
+        return jnp.sum(y ** 2)
+
+    gf = jax.grad(loss_fused, argnums=(0, 1, 2))(qkv, wp, bp)
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2))(qkv, wp, bp)
+    for a, b, nm in zip(gf, gr, ("dqkv", "dwp", "dbp")):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=3e-3, atol=3e-3, err_msg=nm)
+
+
 def test_attention_module_fused_equals_xla():
     """The Attention module produces identical results on both impls."""
     from slim_switch_moe_vit_tpu.models.vit import Attention
