@@ -225,20 +225,39 @@ def train_one_epoch(state: TrainState, train_step, data_loader, epoch: int,
 
 def evaluate(state: TrainState, eval_step, data_loader, *, print_freq: int = 10,
              max_steps: typ.Optional[int] = None):
-    """Eval loop (reference engine.py:88-121)."""
+    """Eval loop (reference engine.py:88-121).
+
+    Metrics are buffered as device values and fetched in ONE device_get per
+    ``print_freq`` window — per-scalar fetches cost a full host round-trip
+    each (~27 ms on this tunnel; three per batch dominated real eval time).
+    """
     metric_logger = MetricLogger(delimiter="  ")
     header = "Test:"
+    window: typ.List[tuple] = []  # (batch_size, device (loss, acc1, acc5))
+
+    def drain():
+        if not window:
+            return
+        fetched = jax.device_get([m for _, m in window])
+        sizes = [bs for bs, _ in window]
+        window.clear()
+        for bs, (loss, acc1, acc5) in zip(sizes, fetched):
+            metric_logger.update(loss=float(loss))
+            metric_logger.meters["acc1"].update(float(acc1), n=bs)
+            metric_logger.meters["acc5"].update(float(acc5), n=bs)
+
     n = 0
     for images, target in metric_logger.log_every(data_loader, print_freq, header):
         bs = images.shape[0]
-        loss, acc1, acc5 = eval_step(
-            state, jnp.asarray(images), jnp.asarray(target))
-        metric_logger.update(loss=float(loss))
-        metric_logger.meters["acc1"].update(float(acc1), n=bs)
-        metric_logger.meters["acc5"].update(float(acc5), n=bs)
+        metrics = eval_step(state, jnp.asarray(images), jnp.asarray(target))
+        window.append((bs, metrics))
         n += 1
+        if n % print_freq == 0:
+            drain()
         if max_steps is not None and n >= max_steps:
             break
+
+    drain()
     metric_logger.synchronize_between_processes()
     print("* Acc@1 {:.3f} Acc@5 {:.3f} loss {:.3f}".format(
         metric_logger.acc1.global_avg, metric_logger.acc5.global_avg,
