@@ -1,0 +1,185 @@
+"""Serving export/predict/server tests (CPU platform, tiny model).
+
+Covers the beyond-reference serving subsystem: jax.export round-trip
+equality against the in-process forward, bucketed/padded batching, the
+checkpoint->export CLI, the dynamic batcher under concurrency, and the
+HTTP endpoint end-to-end.
+"""
+import json
+import threading
+import urllib.error
+import urllib.request
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from slim_switch_moe_vit_tpu import create_model
+from slim_switch_moe_vit_tpu.serving import (
+    DynamicBatcher,
+    export_model,
+    load_predictor,
+    make_serve_fn,
+    make_server,
+)
+from slim_switch_moe_vit_tpu.train_state import create_train_state
+
+IMG, NCLS = 32, 10
+
+
+@pytest.fixture(scope="module")
+def tiny_export(tmp_path_factory):
+    model = create_model("deit_tiny_patch16_224", num_classes=NCLS,
+                         img_size=IMG, dtype=jnp.float32)
+    state = create_train_state(model, (1, IMG, IMG, 3), seed=3)
+    out = str(tmp_path_factory.mktemp("artifact"))
+    manifest = export_model(model, state.params, out, batch_sizes=(2, 4),
+                            model_name="deit_tiny_patch16_224")
+    return model, state.params, out, manifest
+
+
+def _rand_images(n, seed=0):
+    return np.random.RandomState(seed).randint(
+        0, 256, (n, IMG, IMG, 3)).astype(np.uint8)
+
+
+def test_export_roundtrip_matches_direct_forward(tiny_export):
+    model, params, out, manifest = tiny_export
+    assert manifest["batch_sizes"] == [2, 4]
+    assert manifest["input_dtype"] == "uint8"
+
+    pred = load_predictor(out)
+    x = _rand_images(4)
+    got = pred.predict(x)
+
+    serve = make_serve_fn(model)
+    want = np.asarray(serve(params, jnp.asarray(x)), np.float32)
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+    assert got.shape == (4, NCLS)
+
+
+def test_ragged_request_pads_and_chunks(tiny_export):
+    model, params, out, _ = tiny_export
+    pred = load_predictor(out)
+    serve = make_serve_fn(model)
+    for n in (1, 2, 3, 5, 7, 9):
+        x = _rand_images(n, seed=n)
+        got = pred.predict(x)
+        want = np.asarray(serve(params, jnp.asarray(x)), np.float32)
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5,
+                                   err_msg=f"n={n}")
+    # single image without the batch dim
+    got = pred.predict(_rand_images(1)[0])
+    assert got.shape == (1, NCLS)
+    # top-k is softmax-normalized and sorted
+    cls, scores = pred.top_k(_rand_images(3), k=3)
+    assert cls.shape == (3, 3) and scores.shape == (3, 3)
+    assert np.all(np.diff(scores, axis=1) <= 1e-7)
+    assert np.all(scores > 0) and np.all(scores.sum(1) <= 1.0 + 1e-5)
+
+
+def test_export_cli_from_checkpoint(tmp_path):
+    from slim_switch_moe_vit_tpu.serving.export import main as export_main
+    from slim_switch_moe_vit_tpu.utils.checkpoint import save_checkpoint
+
+    model = create_model("deit_tiny_patch16_224", num_classes=NCLS,
+                         img_size=IMG, dtype=jnp.float32)
+    state = create_train_state(model, (1, IMG, IMG, 3), seed=5, use_ema=True)
+    ckpt = str(tmp_path / "ckpt")
+    save_checkpoint(ckpt, state, epoch=1)
+
+    out = str(tmp_path / "artifact")
+    export_main([
+        "--model", "deit_tiny_patch16_224", "--output", out,
+        "--checkpoint", ckpt, "--use-ema", "--num-classes", str(NCLS),
+        "--img-size", str(IMG), "--dtype", "float32", "--batch-sizes", "2",
+    ])
+    pred = load_predictor(out)
+    x = _rand_images(2, seed=9)
+    want = np.asarray(make_serve_fn(model)(state.ema_params, jnp.asarray(x)),
+                      np.float32)
+    np.testing.assert_allclose(pred.predict(x), want, rtol=1e-5, atol=1e-5)
+
+
+def test_dynamic_batcher_concurrent_requests(tiny_export):
+    _, _, out, _ = tiny_export
+    pred = load_predictor(out)
+    batcher = DynamicBatcher(pred, max_wait_ms=20.0)
+    try:
+        sequential = [pred.predict(_rand_images(1, seed=i)) for i in range(6)]
+        results = [None] * 6
+
+        def worker(i):
+            results[i] = batcher.predict(_rand_images(1, seed=i))
+
+        threads = [threading.Thread(target=worker, args=(i,))
+                   for i in range(6)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=60)
+        for i in range(6):
+            np.testing.assert_allclose(results[i], sequential[i],
+                                       rtol=1e-5, atol=1e-5)
+    finally:
+        batcher.close()
+
+
+def test_http_server_end_to_end(tiny_export):
+    _, _, out, _ = tiny_export
+    pred = load_predictor(out)
+    server, batcher = make_server(pred, port=0)
+    port = server.server_address[1]
+    thread = threading.Thread(target=server.serve_forever, daemon=True)
+    thread.start()
+    try:
+        with urllib.request.urlopen(
+                f"http://127.0.0.1:{port}/v1/health", timeout=30) as r:
+            health = json.loads(r.read())
+        assert health["status"] == "ok"
+        assert health["batch_sizes"] == [2, 4]
+
+        x = _rand_images(3, seed=2)
+        body = json.dumps({"instances": x.tolist()}).encode()
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/v1/predict", data=body,
+            headers={"Content-Type": "application/json"})
+        with urllib.request.urlopen(req, timeout=60) as r:
+            resp = json.loads(r.read())
+        got = np.asarray(resp["predictions"], np.float32)
+        np.testing.assert_allclose(got, pred.predict(x), rtol=1e-4,
+                                   atol=1e-4)
+
+        body = json.dumps({"instances": x.tolist(), "k": 2}).encode()
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/v1/predict", data=body,
+            headers={"Content-Type": "application/json"})
+        with urllib.request.urlopen(req, timeout=60) as r:
+            resp = json.loads(r.read())
+        assert np.asarray(resp["classes"]).shape == (3, 2)
+
+        # malformed request -> 400, server stays up
+        bad = urllib.request.Request(
+            f"http://127.0.0.1:{port}/v1/predict", data=b"not json",
+            headers={"Content-Type": "application/json"})
+        try:
+            urllib.request.urlopen(bad, timeout=30)
+            raise AssertionError("expected HTTP 400")
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
+    finally:
+        server.shutdown()
+        batcher.close()
+
+
+def test_platform_mismatch_is_rejected(tiny_export, tmp_path):
+    _, _, out, _ = tiny_export
+    import shutil
+
+    clone = str(tmp_path / "clone")
+    shutil.copytree(out, clone)
+    m = json.load(open(f"{clone}/manifest.json"))
+    m["platform"] = "tpu"
+    json.dump(m, open(f"{clone}/manifest.json", "w"))
+    with pytest.raises(ValueError, match="platform"):
+        load_predictor(clone)
