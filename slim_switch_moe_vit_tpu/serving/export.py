@@ -57,7 +57,12 @@ def _plain_tree(tree):
 
 
 def make_serve_fn(model, with_preprocess: bool = True) -> typ.Callable:
-    """The serving forward: (params, images) -> logits.
+    """The serving forward: (variables, images) -> logits.
+
+    ``variables`` is ``{"params": ...}`` plus, for gated models (resmoe —
+    learned token-skip thresholds live in a separate ``gates`` collection,
+    mirroring the reference's buffer state), ``{"gates": ...}`` — the same
+    collections the eval step feeds (``engine.make_eval_step``).
 
     With preprocessing, images are raw uint8 NHWC batches (what the data
     loader delivers) and the ImageNet normalize runs on device, fused into
@@ -71,14 +76,14 @@ def make_serve_fn(model, with_preprocess: bool = True) -> typ.Callable:
     else:
         normalize = lambda x: x  # noqa: E731
 
-    def serve(params, images):
-        return model.apply({"params": params}, normalize(images),
-                           deterministic=True)
+    def serve(variables, images):
+        return model.apply(variables, normalize(images), deterministic=True)
 
     return serve
 
 
 def export_model(model, params, out_dir: str, *,
+                 gates=None,
                  batch_sizes: typ.Sequence[int] = (1, 8, 32),
                  with_preprocess: bool = True,
                  model_name: str = "",
@@ -87,7 +92,9 @@ def export_model(model, params, out_dir: str, *,
 
     Returns the manifest dict. ``params`` should be the weights to serve
     (pass the EMA shadow for a trained model — the reference evaluates the
-    EMA copy too, ``/root/reference/main.py:884-891``).
+    EMA copy too, ``/root/reference/main.py:884-891``). ``gates`` is the
+    gate-threshold collection for gated (resmoe) models — required for
+    them, exactly as the eval step requires it.
     """
     out_dir = os.path.abspath(out_dir)
     os.makedirs(out_dir, exist_ok=True)
@@ -98,19 +105,21 @@ def export_model(model, params, out_dir: str, *,
     serve = make_serve_fn(model, with_preprocess=with_preprocess)
     img = int(model.img_size)
     in_dtype = jnp.uint8 if with_preprocess else model.dtype
-    params = _plain_tree(params)
-    p_spec = jax.tree.map(
-        lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype), params)
+    variables = {"params": _plain_tree(params)}
+    if gates:
+        variables["gates"] = _plain_tree(gates)
+    v_spec = jax.tree.map(
+        lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype), variables)
 
     from jax import export as jexport
 
     for b in batch_sizes:
         x_spec = jax.ShapeDtypeStruct((b, img, img, 3), in_dtype)
-        exp = jexport.export(jax.jit(serve))(p_spec, x_spec)
+        exp = jexport.export(jax.jit(serve))(v_spec, x_spec)
         with open(os.path.join(out_dir, _fn_file(b)), "wb") as f:
             f.write(exp.serialize())
 
-    _ckptr().save(os.path.join(out_dir, _PARAMS_DIR), params, force=True)
+    _ckptr().save(os.path.join(out_dir, _PARAMS_DIR), variables, force=True)
 
     manifest = {
         "format_version": SERVING_FORMAT_VERSION,
@@ -140,11 +149,14 @@ class Predictor:
     exactly once, on first use.
     """
 
-    def __init__(self, fns: typ.Dict[int, typ.Callable], params,
+    def __init__(self, fns: typ.Dict[int, typ.Callable], variables,
                  manifest: dict):
         self._fns = dict(fns)
         self._buckets = sorted(self._fns)
-        self._params = _plain_tree(params)
+        variables = _plain_tree(variables)
+        if "params" not in variables:  # bare param tree
+            variables = {"params": variables}
+        self._variables = variables
         self.manifest = dict(manifest)
         self._in_dtype = jnp.dtype(self.manifest["input_dtype"])
 
@@ -176,7 +188,7 @@ class Predictor:
                 pad = np.zeros((b - take,) + chunk.shape[1:], chunk.dtype)
                 chunk = np.concatenate([chunk, pad], axis=0)
             logits = self._fns[b](
-                self._params, jnp.asarray(chunk, self._in_dtype))
+                self._variables, jnp.asarray(chunk, self._in_dtype))
             out.append(np.asarray(logits, np.float32)[:take])
             i += take
         return np.concatenate(out, axis=0)
@@ -253,6 +265,7 @@ def main(argv=None):
                          dtype=jnp.dtype(args.dtype))
     state = create_train_state(model, (1, args.img_size, args.img_size, 3))
     params = _plain_tree(state.params)
+    gates = _plain_tree(state.gates) if state.gates else None
     if args.checkpoint:
         raw = _ckptr().restore(os.path.abspath(args.checkpoint))
         tree = raw.get("ema_params") if args.use_ema else None
@@ -269,9 +282,13 @@ def main(argv=None):
         params = jax.tree.map(
             lambda r, g: jnp.asarray(g, r.dtype).reshape(r.shape),
             params, tree)
+        if gates is not None and raw.get("gates"):
+            gates = jax.tree.map(
+                lambda r, g: jnp.asarray(g, r.dtype).reshape(r.shape),
+                gates, _plain_tree(raw["gates"]))
     batch_sizes = [int(b) for b in args.batch_sizes.split(",") if b]
     manifest = export_model(
-        model, params, args.output, batch_sizes=batch_sizes,
+        model, params, args.output, gates=gates, batch_sizes=batch_sizes,
         with_preprocess=not args.no_preprocess, model_name=args.model,
         manifest_extra={"checkpoint": args.checkpoint})
     print(json.dumps(manifest))

@@ -53,7 +53,7 @@ def test_export_roundtrip_matches_direct_forward(tiny_export):
     got = pred.predict(x)
 
     serve = make_serve_fn(model)
-    want = np.asarray(serve(params, jnp.asarray(x)), np.float32)
+    want = np.asarray(serve({"params": params}, jnp.asarray(x)), np.float32)
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
     assert got.shape == (4, NCLS)
 
@@ -65,7 +65,7 @@ def test_ragged_request_pads_and_chunks(tiny_export):
     for n in (1, 2, 3, 5, 7, 9):
         x = _rand_images(n, seed=n)
         got = pred.predict(x)
-        want = np.asarray(serve(params, jnp.asarray(x)), np.float32)
+        want = np.asarray(serve({"params": params}, jnp.asarray(x)), np.float32)
         np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5,
                                    err_msg=f"n={n}")
     # single image without the batch dim
@@ -96,7 +96,7 @@ def test_export_cli_from_checkpoint(tmp_path):
     ])
     pred = load_predictor(out)
     x = _rand_images(2, seed=9)
-    want = np.asarray(make_serve_fn(model)(state.ema_params, jnp.asarray(x)),
+    want = np.asarray(make_serve_fn(model)({"params": state.ema_params}, jnp.asarray(x)),
                       np.float32)
     np.testing.assert_allclose(pred.predict(x), want, rtol=1e-5, atol=1e-5)
 
@@ -170,6 +170,44 @@ def test_http_server_end_to_end(tiny_export):
     finally:
         server.shutdown()
         batcher.close()
+
+
+def test_gated_model_export_carries_gates(tmp_path):
+    """resmoe models keep learned thresholds in a 'gates' collection — the
+    export must bundle them exactly as engine.make_eval_step feeds them."""
+    import jax
+
+    model = create_model("resmoe_tiny_patch16_224_expert8", num_classes=NCLS,
+                         img_size=IMG, dtype=jnp.float32)
+    state = create_train_state(model, (1, IMG, IMG, 3), seed=7)
+    assert state.gates, "resmoe must expose a gates collection"
+    # eval uses target_threshold (skip when gate prob > target); init probs
+    # sit near 0.5, so dropping targets to 0.3 flips most tokens to skipped —
+    # a dropped gates payload would be caught by the equality check below
+    def lower_targets(tree):
+        if isinstance(tree, dict):
+            return {k: (jnp.asarray(0.3, jnp.float32)
+                        if k == "target_threshold" else lower_targets(v))
+                    for k, v in tree.items()}
+        return tree
+
+    gates = lower_targets(jax.tree.map(lambda g: g, state.gates))
+
+    out = str(tmp_path / "artifact")
+    export_model(model, state.params, out, gates=gates, batch_sizes=(2,),
+                 model_name="resmoe_tiny_patch16_224_expert8")
+    pred = load_predictor(out)
+    x = _rand_images(2, seed=4)
+    want = np.asarray(
+        make_serve_fn(model)({"params": state.params, "gates": gates},
+                             jnp.asarray(x)), np.float32)
+    np.testing.assert_allclose(pred.predict(x), want, rtol=1e-5, atol=1e-5)
+    baseline = np.asarray(
+        make_serve_fn(model)({"params": state.params, "gates": state.gates},
+                             jnp.asarray(x)), np.float32)
+    assert not np.allclose(want, baseline), (
+        "perturbed thresholds should change the forward — otherwise this "
+        "test cannot detect a dropped gates payload")
 
 
 def test_platform_mismatch_is_rejected(tiny_export, tmp_path):
