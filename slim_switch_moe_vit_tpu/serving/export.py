@@ -279,6 +279,17 @@ def main(argv=None):
             raise ValueError(
                 f"checkpoint param tree has {len(got_leaves)} leaves; "
                 f"model '{args.model}' expects {len(ref_leaves)}")
+        # serve at a different resolution than the checkpoint was trained
+        # at: bicubic pos-embed grid resize, same as the reference's
+        # finetune path (/root/reference/main.py:550-571)
+        if ("pos_embed" in tree and "pos_embed" in params
+                and tree["pos_embed"].shape != params["pos_embed"].shape):
+            from ..models.vit import resize_pos_embed
+
+            num_extra = params["pos_embed"].shape[1] - model.num_patches
+            tree["pos_embed"] = resize_pos_embed(
+                jnp.asarray(tree["pos_embed"]), num_extra,
+                int(model.num_patches ** 0.5))
         params = jax.tree.map(
             lambda r, g: jnp.asarray(g, r.dtype).reshape(r.shape),
             params, tree)

@@ -210,6 +210,33 @@ def test_gated_model_export_carries_gates(tmp_path):
         "test cannot detect a dropped gates payload")
 
 
+def test_export_cli_resizes_pos_embed(tmp_path):
+    """Export at a different resolution than the checkpoint (the reference's
+    finetune-at-384 story): pos-embed grid resizes bicubically at load."""
+    from slim_switch_moe_vit_tpu.serving.export import main as export_main
+    from slim_switch_moe_vit_tpu.utils.checkpoint import save_checkpoint
+
+    model32 = create_model("deit_tiny_patch16_224", num_classes=NCLS,
+                           img_size=IMG, dtype=jnp.float32)
+    state = create_train_state(model32, (1, IMG, IMG, 3), seed=5)
+    ckpt = str(tmp_path / "ckpt")
+    save_checkpoint(ckpt, state, epoch=0)
+
+    out = str(tmp_path / "artifact64")
+    export_main([
+        "--model", "deit_tiny_patch16_224", "--output", out,
+        "--checkpoint", ckpt, "--num-classes", str(NCLS),
+        "--img-size", "64", "--dtype", "float32", "--batch-sizes", "2",
+    ])
+    pred = load_predictor(out)
+    assert pred.manifest["img_size"] == 64
+    imgs = np.random.RandomState(1).randint(
+        0, 256, (2, 64, 64, 3)).astype(np.uint8)
+    logits = pred.predict(imgs)
+    assert logits.shape == (2, NCLS)
+    assert np.all(np.isfinite(logits))
+
+
 def test_platform_mismatch_is_rejected(tiny_export, tmp_path):
     _, _, out, _ = tiny_export
     import shutil
