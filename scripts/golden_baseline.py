@@ -179,9 +179,115 @@ def _run_distilled(steps=50, alpha=0.5, tau=3.0):
     }
 
 
+def _run_sparse(steps=50, w_sparse=2e-4):
+    """Sparse-pruning search phase (SURVEY 2.7/2.8): smoothed CE + L1 zeta
+    loss, then budget compression — loss curves AND the binarized masks must
+    match the oracle (tests/test_golden_sparse_parity.py guards both)."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+    import torch
+
+    from slim_switch_moe_vit_tpu import create_model, losses
+    from slim_switch_moe_vit_tpu.models import sparse as sp
+    from test_golden_sparse_parity import _jitter_zetas
+    from torch_oracle import (OracleSparseViT, load_from_flax_sparse,
+                              sparse_compress, train_losses_sparse)
+
+    model = create_model("sparse_deit_tiny_patch16_224", num_classes=10,
+                         img_size=32)
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        jnp.zeros((1, 32, 32, 3)), deterministic=True)
+    params = _jitter_zetas(variables["params"])
+    pruning = variables[sp.PRUNING_COLLECTION]
+
+    torch.manual_seed(0)
+    oracle = OracleSparseViT(num_classes=10)
+    load_from_flax_sparse(oracle, jax.tree.map(np.asarray, params))
+
+    crit = losses.make_base_criterion(False, 0.1, False)
+    tx = optax.adamw(LR, b1=0.9, b2=0.999, eps=1e-8, weight_decay=0.0)
+    opt_state = tx.init(params)
+
+    @jax.jit
+    def step(params, opt_state, x, y):
+        def loss_fn(p):
+            logits = model.apply(
+                {"params": p, sp.PRUNING_COLLECTION: pruning}, x,
+                deterministic=True)
+            la, lm, lp = sp.get_sparsity_loss(p)
+            return crit(logits, y) + w_sparse * (la + lm + lp)
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    rs = np.random.RandomState(11)
+    images = rs.randn(2, 8, 32, 32, 3).astype(np.float32)
+    labels = rs.randint(0, 10, (2, 8))
+
+    jax_curve = []
+    for s in range(steps):
+        params, opt_state, loss = step(
+            params, opt_state, jnp.asarray(images[s % 2]),
+            jnp.asarray(labels[s % 2]))
+        jax_curve.append(round(float(loss), 6))
+        if s % 20 == 0:
+            print(f"  jax step {s:3d}: {jax_curve[-1]:.6f}", flush=True)
+
+    torch_curve = [round(v, 6) for v in train_losses_sparse(
+        oracle, images, labels, steps, LR, w_sparse)]
+
+    # post-training compression agreement (masks must be element-exact)
+    budgets = (0.5, 0.6, 0.7)
+    new_pruning, (ta_j, tm_j, _) = sp.compress(params, pruning, *budgets)
+    ta_t, tm_t, _ = sparse_compress(oracle, *budgets)
+    mask_mismatches = 0
+    for i, blk in enumerate(oracle.blocks):
+        a = sp._get(new_pruning, (f"blocks_{i}", "attn"))
+        m = sp._get(new_pruning, (f"blocks_{i}", "mlp"))
+        mask_mismatches += int(np.sum(
+            np.asarray(a["searched_zeta"]) != blk.attn.searched_zeta.numpy()))
+        mask_mismatches += int(np.sum(
+            np.asarray(a["searched_patch_zeta"])
+            != blk.attn.searched_patch_zeta.numpy()))
+        mask_mismatches += int(np.sum(
+            np.asarray(m["searched_zeta"]) != blk.mlp.searched_zeta.numpy()))
+
+    return {
+        "config": {
+            "model": "sparse_deit_tiny_patch16_224 (img 32, 10 classes)",
+            "steps": steps, "lr": LR, "w_sparse": w_sparse,
+            "optimizer": "AdamW wd=0 (plain; wd-mask parity covered by the "
+                         "other configs)",
+            "criterion": "label-smoothing CE (0.1) + w*L1(zetas)",
+            "dtype": "f32", "budgets_attn_mlp_patch": list(budgets),
+            "batches": "2x8 synthetic, fixed seed 11, shared bit-exact; "
+                       "zetas jittered U[0,1) seed 5 on both sides",
+        },
+        "reference_torch_oracle_loss": torch_curve,
+        "rebuild_jax_loss": jax_curve,
+        "compress_threshold_attn": [float(ta_j), float(ta_t)],
+        "compress_threshold_mlp": [float(tm_j), float(tm_t)],
+        "compressed_mask_mismatches": mask_mismatches,
+        **_drift(jax_curve, torch_curve),
+    }
+
+
 def main():
+    import argparse
+
     import jax
     jax.config.update("jax_platforms", "cpu")
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--only", default="",
+                    help="comma list of configs to (re)generate "
+                         "(resmoe,distilled,capacity,sparse); default all")
+    only = ap.parse_args().only
+    todo = set(only.split(",")) if only else {
+        "resmoe", "distilled", "capacity", "sparse"}
 
     note = ("reference cannot execute here (timm + CUDA fmoe missing); the "
             "oracle implements its formulas — see tests/torch_oracle.py. "
@@ -191,34 +297,41 @@ def main():
             "The dense distilled config has no discrete mechanism and "
             "tracks tightly the whole way.")
 
-    print("[1/3] resmoe_tiny, 200 steps, dropless ragged")
-    resmoe = _run_resmoe(steps=200, dispatch_mode="ragged",
-                         capacity_factor=2.0, batches=4, batch=16)
-    print(f"  drift: step0 {resmoe['step0_rel_diff']:.2e}, "
-          f"max {resmoe['max_rel_diff']:.3f}, "
-          f"mean {resmoe['mean_rel_diff']:.3f}")
-
-    print("[2/3] distilled deit, 50 steps, soft KD")
-    distilled = _run_distilled(steps=50)
-    print(f"  drift: step0 {distilled['step0_rel_diff']:.2e}, "
-          f"max {distilled['max_rel_diff']:.3f}, "
-          f"mean {distilled['mean_rel_diff']:.3f}")
-
-    print("[3/3] resmoe_tiny, 50 steps, capacity_factor 0.5 (real drops)")
-    capacity = _run_resmoe(steps=50, dispatch_mode="capacity",
-                           capacity_factor=0.5, batches=4, batch=16)
-    print(f"  drift: step0 {capacity['step0_rel_diff']:.2e}, "
-          f"max {capacity['max_rel_diff']:.3f}, "
-          f"mean {capacity['mean_rel_diff']:.3f}")
-
     path = "/root/repo/BASELINE.json"
     base = json.load(open(path))
-    base["golden"] = {
-        "note": note,
-        "resmoe_tiny": resmoe,
-        "distilled_deit": distilled,
-        "capacity_drop": capacity,
-    }
+    golden = base.get("golden", {})
+    golden["note"] = note
+
+    if "resmoe" in todo:
+        print("[resmoe] resmoe_tiny, 200 steps, dropless ragged")
+        golden["resmoe_tiny"] = r = _run_resmoe(
+            steps=200, dispatch_mode="ragged", capacity_factor=2.0,
+            batches=4, batch=16)
+        print(f"  drift: step0 {r['step0_rel_diff']:.2e}, "
+              f"max {r['max_rel_diff']:.3f}, mean {r['mean_rel_diff']:.3f}")
+
+    if "distilled" in todo:
+        print("[distilled] distilled deit, 50 steps, soft KD")
+        golden["distilled_deit"] = r = _run_distilled(steps=50)
+        print(f"  drift: step0 {r['step0_rel_diff']:.2e}, "
+              f"max {r['max_rel_diff']:.3f}, mean {r['mean_rel_diff']:.3f}")
+
+    if "capacity" in todo:
+        print("[capacity] resmoe_tiny, 50 steps, capacity_factor 0.5")
+        golden["capacity_drop"] = r = _run_resmoe(
+            steps=50, dispatch_mode="capacity", capacity_factor=0.5,
+            batches=4, batch=16)
+        print(f"  drift: step0 {r['step0_rel_diff']:.2e}, "
+              f"max {r['max_rel_diff']:.3f}, mean {r['mean_rel_diff']:.3f}")
+
+    if "sparse" in todo:
+        print("[sparse] sparse_deit_tiny search, 50 steps, L1 + compress")
+        golden["sparse_search"] = r = _run_sparse(steps=50)
+        print(f"  drift: step0 {r['step0_rel_diff']:.2e}, "
+              f"max {r['max_rel_diff']:.3f}, mean {r['mean_rel_diff']:.3f}; "
+              f"mask mismatches {r['compressed_mask_mismatches']}")
+
+    base["golden"] = golden
     json.dump(base, open(path, "w"), indent=2)
     print(f"\nwrote golden curves to {path}")
 

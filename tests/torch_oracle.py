@@ -411,3 +411,208 @@ def train_losses(model: OracleResMoEViT, images: np.ndarray,
         opt.step()
         losses.append(float(loss))
     return losses
+
+
+# ---------------------------------------------------------------------------
+# Sparse (zeta-pruning) oracle — reference models/layers.py:275-473 +
+# models/base_model.py. Restates the SViTE-style search math: soft zeta
+# masks multiply qkv / the MLP hidden / the patch tokens; compress binarizes
+# at budget percentiles and OR-propagates the patch mask last->first.
+# ---------------------------------------------------------------------------
+
+
+class OracleSparseAttention(nn.Module):
+    """reference layers.py:275-327 (full-search zeta shape)."""
+
+    def __init__(self, dim, num_heads, num_patches):
+        super().__init__()
+        self.num_heads = num_heads
+        d = dim // num_heads
+        self.scale = d ** -0.5
+        self.qkv = nn.Linear(dim, dim * 3)
+        self.proj = nn.Linear(dim, dim)
+        self.zeta = nn.Parameter(torch.ones(1, 1, num_heads, 1, d))
+        self.patch_zeta = nn.Parameter(torch.ones(1, num_patches, 1) * 3.0)
+        self.is_searched = False
+        self.searched_zeta = torch.ones(1, 1, num_heads, 1, d)
+        self.searched_patch_zeta = torch.ones(1, num_patches, 1)
+
+    def forward(self, x):
+        zp = (self.searched_patch_zeta if self.is_searched
+              else torch.tanh(self.patch_zeta))
+        x = x * zp
+        B, N, C = x.shape
+        H = self.num_heads
+        d = C // H
+        z = self.searched_zeta if self.is_searched else self.zeta
+        qkv = self.qkv(x).reshape(B, N, 3, H, d).permute(2, 0, 3, 1, 4)
+        qkv = qkv * z
+        q, k, v = qkv[0], qkv[1], qkv[2]
+        attn = (q @ k.transpose(-2, -1)) * self.scale
+        attn = attn.softmax(dim=-1)
+        out = (attn @ v).transpose(1, 2).reshape(B, N, C)
+        return self.proj(out)
+
+
+class OracleSparseMlp(nn.Module):
+    """reference layers.py:420-446: zeta multiplies the GELU'd hidden."""
+
+    def __init__(self, dim, hidden):
+        super().__init__()
+        self.fc1 = nn.Linear(dim, hidden)
+        self.fc2 = nn.Linear(hidden, dim)
+        self.zeta = nn.Parameter(torch.ones(1, 1, hidden))
+        self.is_searched = False
+        self.searched_zeta = torch.ones(1, 1, hidden)
+
+    def forward(self, x):
+        z = self.searched_zeta if self.is_searched else self.zeta
+        h = F.gelu(self.fc1(x), approximate="none") * z
+        return self.fc2(h)
+
+
+class OracleSparseBlock(nn.Module):
+    def __init__(self, dim, num_heads, hidden, num_patches):
+        super().__init__()
+        self.norm1 = nn.LayerNorm(dim, eps=1e-6)
+        self.norm2 = nn.LayerNorm(dim, eps=1e-6)
+        self.attn = OracleSparseAttention(dim, num_heads, num_patches)
+        self.mlp = OracleSparseMlp(dim, hidden)
+
+    def forward(self, x):
+        x = x + self.attn(self.norm1(x))
+        x = x + self.mlp(self.norm2(x))
+        return x
+
+
+class OracleSparseViT(nn.Module):
+    def __init__(self, img_size=32, patch_size=16, dim=192, depth=12,
+                 num_heads=3, mlp_ratio=4.0, num_classes=10):
+        super().__init__()
+        self.patch_size = patch_size
+        self.grid = img_size // patch_size
+        self.num_patches = self.grid ** 2 + 1  # incl. cls (zoo.py parity)
+        self.proj = nn.Linear(patch_size * patch_size * 3, dim)
+        self.cls_token = nn.Parameter(torch.zeros(1, 1, dim))
+        self.pos_embed = nn.Parameter(
+            torch.zeros(1, self.grid ** 2 + 1, dim))
+        self.blocks = nn.ModuleList([
+            OracleSparseBlock(dim, num_heads, int(dim * mlp_ratio),
+                              self.num_patches)
+            for _ in range(depth)
+        ])
+        self.norm = nn.LayerNorm(dim, eps=1e-6)
+        self.head = nn.Linear(dim, num_classes)
+
+    def forward(self, x):
+        B, H, W, C = x.shape
+        p = self.patch_size
+        g = H // p
+        x = x.reshape(B, g, p, g, p, C).permute(0, 1, 3, 2, 4, 5)
+        x = x.reshape(B, g * g, p * p * C)
+        x = self.proj(x)
+        x = torch.cat([self.cls_token.expand(B, -1, -1), x], dim=1)
+        x = x + self.pos_embed
+        for blk in self.blocks:
+            x = blk(x)
+        return self.head(self.norm(x)[:, 0])
+
+
+def load_from_flax_sparse(model: OracleSparseViT, params: dict):
+    sd = {}
+    sd["proj.weight"] = _t(params["patch_embed"]["proj"]["kernel"]).T
+    sd["proj.bias"] = _t(params["patch_embed"]["proj"]["bias"])
+    sd["cls_token"] = _t(params["cls_token"])
+    sd["pos_embed"] = _t(params["pos_embed"])
+    sd["norm.weight"] = _t(params["norm"]["scale"])
+    sd["norm.bias"] = _t(params["norm"]["bias"])
+    sd["head.weight"] = _t(params["head"]["kernel"]).T
+    sd["head.bias"] = _t(params["head"]["bias"])
+    for i in range(len(model.blocks)):
+        b = params[f"blocks_{i}"]
+        pre = f"blocks.{i}."
+        for ln in ("norm1", "norm2"):
+            sd[pre + ln + ".weight"] = _t(b[ln]["scale"])
+            sd[pre + ln + ".bias"] = _t(b[ln]["bias"])
+        sd[pre + "attn.qkv.weight"] = _t(b["attn"]["qkv"]["kernel"]).T
+        sd[pre + "attn.qkv.bias"] = _t(b["attn"]["qkv"]["bias"])
+        sd[pre + "attn.proj.weight"] = _t(b["attn"]["proj"]["kernel"]).T
+        sd[pre + "attn.proj.bias"] = _t(b["attn"]["proj"]["bias"])
+        sd[pre + "attn.zeta"] = _t(b["attn"]["zeta"])
+        sd[pre + "attn.patch_zeta"] = _t(b["attn"]["patch_zeta"])
+        sd[pre + "mlp.fc1.weight"] = _t(b["mlp"]["fc1"]["kernel"]).T
+        sd[pre + "mlp.fc1.bias"] = _t(b["mlp"]["fc1"]["bias"])
+        sd[pre + "mlp.fc2.weight"] = _t(b["mlp"]["fc2"]["kernel"]).T
+        sd[pre + "mlp.fc2.bias"] = _t(b["mlp"]["fc2"]["bias"])
+        sd[pre + "mlp.zeta"] = _t(b["mlp"]["zeta"])
+    model.load_state_dict(sd)
+
+
+def sparse_sparsity_loss(model: OracleSparseViT):
+    """reference base_model.py:49-60 (L1 over soft zetas)."""
+    la = lm = lp = 0.0
+    for blk in model.blocks:
+        la = la + blk.attn.zeta.abs().sum()
+        lp = lp + torch.tanh(blk.attn.patch_zeta).abs().sum()
+        lm = lm + blk.mlp.zeta.abs().sum()
+    return la, lm, lp
+
+
+def sparse_compress(model: OracleSparseViT, budget_attn, budget_mlp,
+                    budget_patch):
+    """reference base_model.py:88-132: percentile thresholds, binarize,
+    patch-mask OR propagation from the last block backward."""
+    za, zm, zp = [], [], []
+    for blk in model.blocks:
+        za.extend(blk.attn.zeta.detach().reshape(-1).tolist())
+        zp.extend(torch.tanh(blk.attn.patch_zeta).detach()
+                  .reshape(-1).tolist())
+        zm.extend(blk.mlp.zeta.detach().reshape(-1).tolist())
+    za, zm, zp = sorted(za), sorted(zm), sorted(zp)
+    ta = za[int((1.0 - budget_attn) * len(za))]
+    tm = zm[int((1.0 - budget_mlp) * len(zm))]
+    tp = zp[int((1.0 - budget_patch) * len(zp))]
+
+    mask = None
+    patch_masks = []
+    for blk in reversed(model.blocks):
+        m = (torch.tanh(blk.attn.patch_zeta.detach()) >= tp)
+        mask = m if mask is None else (mask | m)
+        patch_masks.append(mask.float())
+    patch_masks.reverse()
+
+    for blk, pm in zip(model.blocks, patch_masks):
+        blk.attn.is_searched = True
+        blk.attn.searched_zeta = (blk.attn.zeta.detach() >= ta).float()
+        blk.attn.searched_patch_zeta = pm
+        blk.mlp.is_searched = True
+        blk.mlp.searched_zeta = (blk.mlp.zeta.detach() >= tm).float()
+    return ta, tm, tp
+
+
+def sparse_decompress(model: OracleSparseViT):
+    for blk in model.blocks:
+        blk.attn.is_searched = False
+        blk.mlp.is_searched = False
+
+
+def train_losses_sparse(model: OracleSparseViT, images, labels, steps,
+                        lr, w_sparse, smoothing=0.1):
+    """Search-phase training: smoothed CE + w * L1(zetas), plain AdamW
+    (weight decay 0 on both sides — wd-mask parity is covered by the other
+    golden configs)."""
+    opt = torch.optim.AdamW(model.parameters(), lr=lr, betas=(0.9, 0.999),
+                            eps=1e-8, weight_decay=0.0)
+    out = []
+    nb = images.shape[0]
+    for s in range(steps):
+        x = torch.from_numpy(images[s % nb])
+        y = torch.from_numpy(labels[s % nb])
+        base = smoothed_ce(model(x), y, smoothing)
+        la, lm, lp = sparse_sparsity_loss(model)
+        loss = base + w_sparse * (la + lm + lp)
+        opt.zero_grad()
+        loss.backward()
+        opt.step()
+        out.append(float(loss))
+    return out
