@@ -10,6 +10,10 @@ records the loss curves into BASELINE.json["golden"], one entry per config:
 - distilled_deit   50 steps, dual heads + soft KD vs a frozen teacher
 - capacity_drop    50 steps, finite capacity_factor -> real token drops on
                    both sides (token-major slot priority)
+- sparse_search    50 steps, CE + L1-zeta search + budget compression with
+                   element-exact mask agreement (SURVEY 2.7/2.8)
+- switchable       50 steps, centroid-bucketed SwitchableLayerNorm training
+                   (SURVEY 2.5/2.6)
 
 Usage: python scripts/golden_baseline.py
 """
@@ -275,6 +279,88 @@ def _run_sparse(steps=50, w_sparse=2e-4):
     }
 
 
+def _run_switchable(steps=50):
+    """Switchable subsystem (SURVEY 2.5/2.6): centroid-bucketed
+    SwitchableLayerNorm training — the jax gather-based per-bucket affine vs
+    the torch index_select restatement of the reference's boolean-mask loop."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+    import torch
+
+    from slim_switch_moe_vit_tpu import create_model, losses
+    from slim_switch_moe_vit_tpu.models.switchable import (
+        CENTROID_COLLECTION, SwitchableLayerNorm)
+    from test_golden_switchable_parity import _jitter_router
+    from torch_oracle import (OracleSwitchableViT, load_from_flax_switchable,
+                              train_losses_switchable)
+
+    BUCKETS = 4
+    model = create_model("deit_sw_tiny_patch16_224", num_classes=10,
+                         img_size=32, buckets=BUCKETS)
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        jnp.zeros((1, 32, 32, 3)), deterministic=True)
+    params = _jitter_router(variables["params"])
+    rs = np.random.RandomState(13)
+    centroids = (rs.randn(BUCKETS, 192) * 0.5).astype(np.float32)
+    variables = SwitchableLayerNorm.set_centroids(
+        {**variables, "params": params}, ("router",), jnp.asarray(centroids))
+    cent_col = variables[CENTROID_COLLECTION]
+
+    torch.manual_seed(0)
+    oracle = OracleSwitchableViT(num_classes=10, buckets=BUCKETS)
+    load_from_flax_switchable(oracle, jax.tree.map(np.asarray, params),
+                              centroids)
+
+    crit = losses.make_base_criterion(False, 0.1, False)
+    tx = optax.adamw(LR, b1=0.9, b2=0.999, eps=1e-8, weight_decay=0.0)
+    opt_state = tx.init(params)
+
+    @jax.jit
+    def step(params, opt_state, x, y):
+        def loss_fn(p):
+            logits = model.apply(
+                {"params": p, CENTROID_COLLECTION: cent_col}, x,
+                deterministic=True)
+            return crit(logits, y)
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    images = rs.randn(2, 8, 32, 32, 3).astype(np.float32)
+    labels = rs.randint(0, 10, (2, 8))
+
+    jax_curve = []
+    for s in range(steps):
+        params, opt_state, loss = step(
+            params, opt_state, jnp.asarray(images[s % 2]),
+            jnp.asarray(labels[s % 2]))
+        jax_curve.append(round(float(loss), 6))
+        if s % 20 == 0:
+            print(f"  jax step {s:3d}: {jax_curve[-1]:.6f}", flush=True)
+
+    torch_curve = [round(v, 6) for v in train_losses_switchable(
+        oracle, images, labels, steps, LR)]
+
+    return {
+        "config": {
+            "model": f"deit_sw_tiny_patch16_224 (img 32, 10 classes, "
+                     f"{BUCKETS} buckets)",
+            "steps": steps, "lr": LR,
+            "optimizer": "AdamW wd=0 (plain; wd-mask parity covered by the "
+                         "other configs)",
+            "criterion": "label-smoothing CE (0.1)", "dtype": "f32",
+            "batches": "2x8 synthetic, fixed seed 13, shared bit-exact; "
+                       "router affine jittered seed 9, centroids seed 13",
+        },
+        "reference_torch_oracle_loss": torch_curve,
+        "rebuild_jax_loss": jax_curve,
+        **_drift(jax_curve, torch_curve),
+    }
+
+
 def main():
     import argparse
 
@@ -284,10 +370,10 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--only", default="",
                     help="comma list of configs to (re)generate "
-                         "(resmoe,distilled,capacity,sparse); default all")
+                         "(resmoe,distilled,capacity,sparse,switchable); default all")
     only = ap.parse_args().only
     todo = set(only.split(",")) if only else {
-        "resmoe", "distilled", "capacity", "sparse"}
+        "resmoe", "distilled", "capacity", "sparse", "switchable"}
 
     note = ("reference cannot execute here (timm + CUDA fmoe missing); the "
             "oracle implements its formulas — see tests/torch_oracle.py. "
@@ -295,7 +381,8 @@ def main():
             "intrinsic: STE hard gates and capacity slot priority flip "
             "discretely on fp noise (tests/test_golden_torch_parity.py). "
             "The dense distilled config has no discrete mechanism and "
-            "tracks tightly the whole way.")
+            "tracks tightly the whole way, as do the sparse-search and "
+            "switchable-bucket configs (soft masks / affine gathers only).")
 
     path = "/root/repo/BASELINE.json"
     base = json.load(open(path))
@@ -330,6 +417,12 @@ def main():
         print(f"  drift: step0 {r['step0_rel_diff']:.2e}, "
               f"max {r['max_rel_diff']:.3f}, mean {r['mean_rel_diff']:.3f}; "
               f"mask mismatches {r['compressed_mask_mismatches']}")
+
+    if "switchable" in todo:
+        print("[switchable] deit_sw_tiny centroid-bucket training, 50 steps")
+        golden["switchable_buckets"] = r = _run_switchable(steps=50)
+        print(f"  drift: step0 {r['step0_rel_diff']:.2e}, "
+              f"max {r['max_rel_diff']:.3f}, mean {r['mean_rel_diff']:.3f}")
 
     base["golden"] = golden
     json.dump(base, open(path, "w"), indent=2)

@@ -616,3 +616,134 @@ def train_losses_sparse(model: OracleSparseViT, images, labels, steps,
         opt.step()
         out.append(float(loss))
     return out
+
+
+# ---------------------------------------------------------------------------
+# Switchable oracle — reference models/layers.py:31-157 (SwitchableLayerNorm:
+# per-bucket affine; bucket by explicit id or L2-argmin to non-trainable
+# centroids) + vision_transformer.py:325-639 (pre/router/mid/post split; the
+# reference default router_start=0 / router_end=-1 gives 0/11/1). The torch
+# side applies the per-bucket affine with index_select (the reference's
+# boolean-mask loop, layers.py:144-149, computes the same function); the jax
+# rebuild uses one gather — the golden test pins both value and GRADIENT
+# equality of that rewrite.
+# ---------------------------------------------------------------------------
+
+
+class OracleSwitchableLN(nn.Module):
+    def __init__(self, dim, buckets):
+        super().__init__()
+        self.eps = 1e-5
+        self.weights = nn.Parameter(torch.ones(buckets, dim))
+        self.biases = nn.Parameter(torch.zeros(buckets, dim))
+        self.centroids = torch.zeros(buckets, dim)  # non-trainable buffer
+
+    def forward(self, x, buckets=None):
+        mean = x.mean(dim=-1, keepdim=True)
+        diff = x - mean
+        var = (diff * diff).mean(dim=-1, keepdim=True)
+        normalized = diff * torch.rsqrt(var + self.eps)
+        if buckets is None:
+            d = ((x * x).sum(-1, keepdim=True)
+                 - 2.0 * x @ self.centroids.T
+                 + (self.centroids * self.centroids).sum(-1))
+            selected = d.argmin(dim=-1)
+        else:
+            selected = torch.broadcast_to(buckets, x.shape[:-1])
+        w = self.weights[selected]
+        b = self.biases[selected]
+        return normalized * w + b, selected
+
+
+class OracleSwitchableViT(nn.Module):
+    """Non-routing forward (routing-mode reference indexing is acknowledged
+    buggy research code — SURVEY 2.23 — and excluded from golden scope)."""
+
+    def __init__(self, img_size=32, patch_size=16, dim=192, depth=12,
+                 num_heads=3, mlp_ratio=4.0, num_classes=10, buckets=4,
+                 router_start=0, router_end=-1):
+        super().__init__()
+        self.patch_size = patch_size
+        self.grid = img_size // patch_size
+        self.proj = nn.Linear(patch_size * patch_size * 3, dim)
+        self.cls_token = nn.Parameter(torch.zeros(1, 1, dim))
+        self.pos_embed = nn.Parameter(torch.zeros(1, self.grid ** 2 + 1, dim))
+        self.router = OracleSwitchableLN(dim, buckets)
+        n_pre = router_start % depth
+        n_mid = (router_end - router_start) % depth
+        self.n_pre, self.n_mid = n_pre, n_mid
+        self.blocks = nn.ModuleList([
+            OracleBlock(dim, num_heads, int(dim * mlp_ratio))
+            for _ in range(depth)
+        ])
+        self.norm = nn.LayerNorm(dim, eps=1e-6)
+        self.head = nn.Linear(dim, num_classes)
+
+    def forward(self, x, bucket=None):
+        B, H, W, C = x.shape
+        p = self.patch_size
+        g = H // p
+        x = x.reshape(B, g, p, g, p, C).permute(0, 1, 3, 2, 4, 5)
+        x = x.reshape(B, g * g, p * p * C)
+        x = self.proj(x)
+        x = torch.cat([self.cls_token.expand(B, -1, -1), x], dim=1)
+        x = x + self.pos_embed
+        for blk in self.blocks[:self.n_pre]:
+            x = blk(x)
+        x, selected = self.router(x, bucket)
+        for blk in self.blocks[self.n_pre:]:
+            x = blk(x)
+        return self.head(self.norm(x)[:, 0]), selected
+
+
+def load_from_flax_switchable(model: OracleSwitchableViT, params: dict,
+                              centroids: np.ndarray):
+    sd = {}
+    sd["proj.weight"] = _t(params["patch_embed"]["proj"]["kernel"]).T
+    sd["proj.bias"] = _t(params["patch_embed"]["proj"]["bias"])
+    sd["cls_token"] = _t(params["cls_token"])
+    sd["pos_embed"] = _t(params["pos_embed"])
+    sd["router.weights"] = _t(params["router"]["weights"])
+    sd["router.biases"] = _t(params["router"]["biases"])
+    sd["norm.weight"] = _t(params["norm"]["scale"])
+    sd["norm.bias"] = _t(params["norm"]["bias"])
+    sd["head.weight"] = _t(params["head"]["kernel"]).T
+    sd["head.bias"] = _t(params["head"]["bias"])
+    for i in range(len(model.blocks)):
+        b = params[f"block_{i}"]
+        pre = f"blocks.{i}."
+        for ln in ("norm1", "norm2"):
+            sd[pre + ln + ".weight"] = _t(b[ln]["scale"])
+            sd[pre + ln + ".bias"] = _t(b[ln]["bias"])
+        sd[pre + "attn.qkv.weight"] = _t(b["attn"]["qkv"]["kernel"]).T
+        sd[pre + "attn.qkv.bias"] = _t(b["attn"]["qkv"]["bias"])
+        sd[pre + "attn.proj.weight"] = _t(b["attn"]["proj"]["kernel"]).T
+        sd[pre + "attn.proj.bias"] = _t(b["attn"]["proj"]["bias"])
+        sd[pre + "mlp.fc1.weight"] = _t(b["mlp"]["fc1"]["kernel"]).T
+        sd[pre + "mlp.fc1.bias"] = _t(b["mlp"]["fc1"]["bias"])
+        sd[pre + "mlp.fc2.weight"] = _t(b["mlp"]["fc2"]["kernel"]).T
+        sd[pre + "mlp.fc2.bias"] = _t(b["mlp"]["fc2"]["bias"])
+    model.load_state_dict(sd)
+    model.router.centroids = torch.from_numpy(
+        np.asarray(centroids, np.float32))
+
+
+def train_losses_switchable(model: OracleSwitchableViT, images, labels,
+                            steps, lr, smoothing=0.1):
+    """Centroid-bucketed training: the per-bucket affine gradients flow
+    through the bucket selection (selection itself is non-differentiable
+    argmin on both sides)."""
+    opt = torch.optim.AdamW(model.parameters(), lr=lr, betas=(0.9, 0.999),
+                            eps=1e-8, weight_decay=0.0)
+    out = []
+    nb = images.shape[0]
+    for s in range(steps):
+        x = torch.from_numpy(images[s % nb])
+        y = torch.from_numpy(labels[s % nb])
+        logits, _ = model(x)
+        loss = smoothed_ce(logits, y, smoothing)
+        opt.zero_grad()
+        loss.backward()
+        opt.step()
+        out.append(float(loss))
+    return out
