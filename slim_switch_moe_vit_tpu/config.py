@@ -191,6 +191,10 @@ def get_args_parser():
                         help="fraction of tokens computed in compact mode")
     parser.add_argument("--use-flash-attention", action="store_true",
                         help="Pallas flash-attention kernel for long sequences")
+    parser.add_argument("--compilation-cache-dir", default="", type=str,
+                        help="persistent XLA compilation cache directory: "
+                             "restarts/resumes skip the 20-40s first-compile "
+                             "of each jitted step (production restart cost)")
     parser.add_argument("--synth-size", default=512, type=int,
                         help="SYNTH dataset size")
     parser.add_argument("--synth-classes", default=10, type=int)

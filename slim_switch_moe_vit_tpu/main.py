@@ -120,6 +120,12 @@ def _make_loaders(args, dataset_train, dataset_val, task_dataset_val):
 def main(args):
     from .parallel.distributed import init_distributed_mode
 
+    if getattr(args, "compilation_cache_dir", ""):
+        # persistent XLA compile cache: a resumed/restarted run skips the
+        # first-compile of every jitted step it has built before
+        jax.config.update("jax_compilation_cache_dir",
+                          args.compilation_cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
     init_distributed_mode(args)
     print(args)
     # finetune + distillation compose freely, as in the reference

@@ -90,3 +90,20 @@ def test_eval_resume_does_not_train(tmp_path, capsys):
     # restored logits are finite / accuracy parsed
     m = [ln for ln in out.splitlines() if "Acc@1" in ln]
     assert m and np.isfinite(float(m[-1].split("Acc@1")[1].split()[0]))
+
+
+def test_compilation_cache_flag_populates_cache(tmp_path, capsys):
+    """--compilation-cache-dir wires jax's persistent compile cache: the
+    jitted steps land in the cache dir, so a restarted run skips their
+    first-compile (production restart cost)."""
+    import os
+
+    out_dir = tmp_path / "out"
+    cache_dir = tmp_path / "xla_cache"
+    args = _args(out_dir, ["--epochs", "1",
+                           "--compilation-cache-dir", str(cache_dir)])
+    args.synth_size = 64
+    main(args)
+    capsys.readouterr()
+    entries = os.listdir(str(cache_dir))
+    assert entries, "compilation cache dir is empty — flag not wired"
