@@ -125,6 +125,22 @@ def test_dynamic_batcher_concurrent_requests(tiny_export):
         batcher.close()
 
 
+def test_dynamic_batcher_fans_out_errors(tiny_export):
+    """A failing predict must error EVERY coalesced request (not hang any)
+    and leave the worker alive for the next batch."""
+    _, _, out, _ = tiny_export
+    pred = load_predictor(out)
+    batcher = DynamicBatcher(pred, max_wait_ms=5.0)
+    try:
+        with pytest.raises(Exception):
+            batcher.predict(np.zeros((1, 7, 7, 3), np.uint8))  # bad H/W
+        # worker survived: a good request still completes
+        got = batcher.predict(_rand_images(1))
+        assert got.shape == (1, NCLS)
+    finally:
+        batcher.close()
+
+
 def test_http_server_end_to_end(tiny_export):
     _, _, out, _ = tiny_export
     pred = load_predictor(out)
