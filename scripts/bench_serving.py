@@ -70,7 +70,7 @@ def main():
     print(json.dumps({
         "model": name, "img": img,
         "batch1_p50_ms": round(lat[len(lat) // 2], 2),
-        "batch1_p90_ms": round(lat[int(len(lat) * 0.9)], 2),
+        "batch1_p90_ms": round(lat[int(0.9 * (len(lat) - 1))], 2),
         "throughput_images_per_sec_b256": round(thr, 1),
         "export_s": round(export_s, 1), "load_s": round(load_s, 1),
     }), flush=True)

@@ -372,8 +372,12 @@ def main():
                     help="comma list of configs to (re)generate "
                          "(resmoe,distilled,capacity,sparse,switchable); default all")
     only = ap.parse_args().only
-    todo = set(only.split(",")) if only else {
-        "resmoe", "distilled", "capacity", "sparse", "switchable"}
+    known = {"resmoe", "distilled", "capacity", "sparse", "switchable"}
+    todo = set(filter(None, only.split(","))) if only else set(known)
+    unknown = todo - known - {"none"}
+    if unknown:
+        ap.error(f"unknown config(s) {sorted(unknown)}; choose from "
+                 f"{sorted(known)} (or 'none' to refresh only the note)")
 
     note = ("reference cannot execute here (timm + CUDA fmoe missing); the "
             "oracle implements its formulas — see tests/torch_oracle.py. "

@@ -268,8 +268,14 @@ def main(argv=None):
     gates = _plain_tree(state.gates) if state.gates else None
     if args.checkpoint:
         raw = _ckptr().restore(os.path.abspath(args.checkpoint))
-        tree = raw.get("ema_params") if args.use_ema else None
-        if tree is None:
+        if args.use_ema:
+            tree = raw.get("ema_params")
+            if tree is None:
+                raise ValueError(
+                    "--use-ema: checkpoint has no EMA shadow (trained "
+                    "without --model-ema?) — refusing to silently serve "
+                    "the raw weights")
+        else:
             tree = raw["params"]
         tree = _plain_tree(tree)
         # template-free Orbax restore: validate against the model's skeleton

@@ -39,14 +39,28 @@ class DynamicBatcher:
         self._max_batch = max_batch or max(predictor.batch_sizes)
         self._max_wait = max_wait_ms / 1000.0
         self._q: "queue.Queue" = queue.Queue()
+        self._closed = False
+        img = int(predictor.manifest.get("img_size", 0))
+        self._want_shape = (img, img, 3) if img else None
         self._worker = threading.Thread(target=self._run, daemon=True)
         self._worker.start()
 
     def predict(self, images: np.ndarray) -> np.ndarray:
-        """Thread-safe; blocks until this request's rows come back."""
+        """Thread-safe; blocks until this request's rows come back.
+
+        Shape is validated HERE, before coalescing — a malformed request
+        must fail alone, never poison the valid requests batched with it."""
+        if self._closed:
+            raise RuntimeError("DynamicBatcher is closed")
         images = np.asarray(images)
         if images.ndim == 3:
             images = images[None]
+        if self._want_shape and (images.ndim != 4
+                                 or tuple(images.shape[1:])
+                                 != self._want_shape):
+            raise ValueError(
+                f"request shape {images.shape} does not match the "
+                f"artifact's (n, {', '.join(map(str, self._want_shape))})")
         done = threading.Event()
         slot: dict = {}
         self._q.put((images, slot, done))
@@ -56,14 +70,17 @@ class DynamicBatcher:
         return slot["result"]
 
     def close(self):
+        self._closed = True  # new predict() calls fail fast, never hang
         self._q.put(self._STOP)
         self._worker.join(timeout=10)
 
     def _run(self):
         import time
 
+        carry = None  # request that would have overflowed the last batch
         while True:
-            item = self._q.get()
+            item = carry if carry is not None else self._q.get()
+            carry = None
             if item is self._STOP:
                 return
             batch = [item]
@@ -80,6 +97,10 @@ class DynamicBatcher:
                 if nxt is self._STOP:
                     self._q.put(self._STOP)  # re-arm for the outer loop
                     break
+                if rows + nxt[0].shape[0] > self._max_batch:
+                    carry = nxt  # keep the coalesced batch <= max_batch
+                    break        # (a single oversized request still runs
+                    #              alone; Predictor chunks it internally)
                 batch.append(nxt)
                 rows += nxt[0].shape[0]
             try:
@@ -126,13 +147,21 @@ def _make_handler(batcher: DynamicBatcher, predictor: Predictor):
                 self._send(404, {"error": "not found"})
                 return
             try:
-                length = int(self.headers.get("Content-Length", "0"))
-                req = json.loads(self.rfile.read(length))
-                dtype = predictor.manifest["input_dtype"]
-                images = np.asarray(req["instances"],
-                                    np.uint8 if dtype == "uint8" else
-                                    np.float32)
-                logits = batcher.predict(images)
+                try:
+                    length = int(self.headers.get("Content-Length", "0"))
+                    req = json.loads(self.rfile.read(length))
+                    dtype = predictor.manifest["input_dtype"]
+                    images = np.asarray(req["instances"],
+                                        np.uint8 if dtype == "uint8" else
+                                        np.float32)
+                except Exception as e:  # noqa: BLE001 - client payload
+                    self._send(400, {"error": f"{type(e).__name__}: {e}"})
+                    return
+                try:
+                    logits = batcher.predict(images)
+                except ValueError as e:  # shape validation = client error
+                    self._send(400, {"error": f"{type(e).__name__}: {e}"})
+                    return
                 k = req.get("k")
                 if k:
                     k = min(int(k), logits.shape[1])
@@ -146,8 +175,9 @@ def _make_handler(batcher: DynamicBatcher, predictor: Predictor):
                     })
                 else:
                     self._send(200, {"predictions": logits.tolist()})
-            except Exception as e:  # noqa: BLE001 - report, don't crash
-                self._send(400, {"error": f"{type(e).__name__}: {e}"})
+            except Exception as e:  # noqa: BLE001 - predict-path/runtime
+                # failure: a 5xx so clients retry and monitoring sees it
+                self._send(500, {"error": f"{type(e).__name__}: {e}"})
 
         def log_message(self, *a):  # quiet by default
             pass

@@ -126,19 +126,126 @@ def test_dynamic_batcher_concurrent_requests(tiny_export):
 
 
 def test_dynamic_batcher_fans_out_errors(tiny_export):
-    """A failing predict must error EVERY coalesced request (not hang any)
-    and leave the worker alive for the next batch."""
+    """A malformed request fails ALONE at submit (shape validated before
+    coalescing, so it can't poison co-batched requests) and the worker
+    stays alive for the next batch."""
     _, _, out, _ = tiny_export
     pred = load_predictor(out)
-    batcher = DynamicBatcher(pred, max_wait_ms=5.0)
+    batcher = DynamicBatcher(pred, max_wait_ms=20.0)
     try:
-        with pytest.raises(Exception):
-            batcher.predict(np.zeros((1, 7, 7, 3), np.uint8))  # bad H/W
-        # worker survived: a good request still completes
-        got = batcher.predict(_rand_images(1))
-        assert got.shape == (1, NCLS)
+        # bad request raises ValueError at submit...
+        with pytest.raises(ValueError, match="does not match"):
+            batcher.predict(np.zeros((1, 7, 7, 3), np.uint8))
+        # ...even when racing a valid one (the valid one must succeed)
+        results, errors = [None], [None]
+
+        def good():
+            results[0] = batcher.predict(_rand_images(1))
+
+        def bad():
+            try:
+                batcher.predict(np.zeros((2, 7, 7, 3), np.uint8))
+            except ValueError as e:
+                errors[0] = e
+
+        tg, tb = threading.Thread(target=good), threading.Thread(target=bad)
+        tg.start(); tb.start()
+        tg.join(timeout=60); tb.join(timeout=60)
+        assert results[0] is not None and results[0].shape == (1, NCLS)
+        assert isinstance(errors[0], ValueError)
     finally:
         batcher.close()
+    # predict after close fails fast instead of hanging forever
+    with pytest.raises(RuntimeError, match="closed"):
+        batcher.predict(_rand_images(1))
+
+
+def test_batcher_respects_max_batch(tiny_export):
+    """Coalescing never exceeds max_batch: an overflow request is carried
+    into the NEXT batch, and every request still gets its own rows back."""
+    _, _, out, _ = tiny_export
+    pred = load_predictor(out)
+    batcher = DynamicBatcher(pred, max_batch=4, max_wait_ms=50.0)
+    seen = []
+    real_predict = pred.predict
+
+    def spy(images):
+        seen.append(images.shape[0])
+        return real_predict(images)
+
+    pred.predict = spy
+    try:
+        sizes = [3, 3, 3]
+        results = [None] * len(sizes)
+
+        def worker(i):
+            results[i] = batcher.predict(_rand_images(sizes[i], seed=i))
+
+        threads = [threading.Thread(target=worker, args=(i,))
+                   for i in range(len(sizes))]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=120)
+        for i, n in enumerate(sizes):
+            want = real_predict(_rand_images(n, seed=i))
+            np.testing.assert_allclose(results[i], want, rtol=1e-5,
+                                       atol=1e-5)
+        assert seen and max(seen) <= 4, f"coalesced over max_batch: {seen}"
+    finally:
+        batcher.close()
+
+
+def test_http_server_returns_500_on_predict_failure(tmp_path):
+    """Runtime predict failures are 5xx (retryable, visible to monitoring),
+    not 400."""
+    class FakePredictor:
+        manifest = {"model_name": "fake", "platform": "cpu",
+                    "batch_sizes": [4], "input_dtype": "uint8",
+                    "img_size": IMG, "num_classes": NCLS}
+        batch_sizes = [4]
+
+        def predict(self, images):
+            raise RuntimeError("device fell over")
+
+    server, batcher = make_server(FakePredictor(), port=0)
+    port = server.server_address[1]
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    try:
+        body = json.dumps(
+            {"instances": _rand_images(1).tolist()}).encode()
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/v1/predict", data=body,
+            headers={"Content-Type": "application/json"})
+        try:
+            urllib.request.urlopen(req, timeout=30)
+            raise AssertionError("expected HTTP 500")
+        except urllib.error.HTTPError as e:
+            assert e.code == 500
+            assert "device fell over" in e.read().decode()
+    finally:
+        server.shutdown()
+        batcher.close()
+
+
+def test_export_cli_use_ema_requires_ema(tmp_path):
+    """--use-ema on an EMA-less checkpoint must refuse, not silently export
+    the raw weights."""
+    from slim_switch_moe_vit_tpu.serving.export import main as export_main
+    from slim_switch_moe_vit_tpu.utils.checkpoint import save_checkpoint
+
+    model = create_model("deit_tiny_patch16_224", num_classes=NCLS,
+                         img_size=IMG, dtype=jnp.float32)
+    state = create_train_state(model, (1, IMG, IMG, 3))  # no EMA
+    ckpt = str(tmp_path / "ckpt")
+    save_checkpoint(ckpt, state, epoch=0)
+    with pytest.raises(ValueError, match="EMA"):
+        export_main([
+            "--model", "deit_tiny_patch16_224", "--output",
+            str(tmp_path / "a"), "--checkpoint", ckpt, "--use-ema",
+            "--num-classes", str(NCLS), "--img-size", str(IMG),
+            "--dtype", "float32", "--batch-sizes", "2",
+        ])
 
 
 def test_http_server_end_to_end(tiny_export):
