@@ -142,48 +142,113 @@ def _emit(metric, value, unit, target):
     }), flush=True)
 
 
-def main():
+def _probe_backend(timeout=150):
+    """Bounded backend health check in a subprocess.
+
+    This environment's TPU tunnel can wedge such that ``jax.devices()`` (and
+    any subsequent compile/fetch) hangs forever — r3's BENCH artifact was
+    rc=124 with ZERO metric lines because every config re-attempted backend
+    init unboundedly. A subprocess with a hard timeout turns a dead backend
+    into a fast, diagnosable failure.
+    """
+    code = ("import jax, jax.numpy as jnp\n"
+            "print('devices:', jax.devices())\n"
+            "print('probe_sum', float(jnp.ones((8, 8)).sum()))\n")
+    try:
+        r = subprocess.run([sys.executable, "-c", code], capture_output=True,
+                           text=True, timeout=timeout)
+        ok = r.returncode == 0 and "probe_sum" in r.stdout
+        return ok, (r.stdout + r.stderr)[-400:].strip()
+    except subprocess.TimeoutExpired:
+        return False, f"backend probe timed out after {timeout}s (tunnel wedged?)"
+
+
+def _run_cfg_subprocess(cfg, timeout):
+    """Run one config via ``bench.py --cfg NAME`` with its own wall clock.
+
+    Forwards the config's JSON metric line(s) to stdout; on failure/timeout,
+    writes a diagnostic to stderr and returns False. One hung config can no
+    longer zero the remaining lines.
+    """
+    try:
+        r = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--cfg", cfg],
+            capture_output=True, text=True, timeout=timeout,
+            cwd=os.path.dirname(os.path.abspath(__file__)))
+    except subprocess.TimeoutExpired:
+        print(f"# {cfg} timed out after {timeout}s", file=sys.stderr)
+        return False
+    lines = [l for l in r.stdout.splitlines() if l.startswith("{")]
+    for l in lines:
+        print(l, flush=True)
+    if r.returncode != 0 or not lines:
+        print(f"# {cfg} failed rc={r.returncode}: {r.stderr[-400:]}",
+              file=sys.stderr)
+        return False
+    return True
+
+
+def _run_one(cfg):
+    """Execute a single config in-process and print its JSON line."""
     from slim_switch_moe_vit_tpu.ops.flops import vit_flops
 
     img = 224
-    run_all = os.environ.get("BENCH_ALL", "1") != "0"
-
     fwd_small_moe = vit_flops(1, img, 16, 384, 12, 4.0, 1000, moe=True,
                               num_experts=8, top_k=2)
     fwd_tiny = vit_flops(1, img, 16, 192, 12, 4.0, 1000)
 
-    if run_all:
-        # cfg1: dense DeiT-Ti eval (BASELINE config 1; eval = 1x fwd)
-        try:
-            ips = _measure_eval("deit_tiny_patch16_224")
-            _emit("eval_images_per_sec_deit_tiny_224_bf16_b256", ips,
-                  "images/sec", 0.9 * PEAK / fwd_tiny)
-        except Exception as e:  # noqa: BLE001 - never kill the flagship line
-            print(f"# cfg1 failed: {e}", file=sys.stderr)
-
-        # cfg3: ResMoE (gates + MoE) train (BASELINE config 3)
-        try:
-            ips = _measure_train("resmoe_small_patch16_224_expert8")
-            _emit("train_images_per_sec_resmoe_small_8e_224_bf16_b128", ips,
-                  "images/sec", 0.9 * _roofline_train_ips(fwd_small_moe))
-        except Exception as e:  # noqa: BLE001
-            print(f"# cfg3 failed: {e}", file=sys.stderr)
-
-        # cfg4: capacity-factor dispatch with real token dropping
+    if cfg == "cfg1":
+        # dense DeiT-Ti eval (BASELINE config 1; eval = 1x fwd)
+        ips = _measure_eval("deit_tiny_patch16_224")
+        _emit("eval_images_per_sec_deit_tiny_224_bf16_b256", ips,
+              "images/sec", 0.9 * PEAK / fwd_tiny)
+    elif cfg == "cfg3":
+        # ResMoE (gates + MoE) train (BASELINE config 3)
+        ips = _measure_train("resmoe_small_patch16_224_expert8")
+        _emit("train_images_per_sec_resmoe_small_8e_224_bf16_b128", ips,
+              "images/sec", 0.9 * _roofline_train_ips(fwd_small_moe))
+    elif cfg == "cfg4":
+        # capacity-factor dispatch with real token dropping
         # (capacity_fused = counting-sort layout + fused FFN kernel; output-
         # identical to the scatter-based 'capacity' EP path in f32, and
         # identical up to the bf16 poly-GELU tolerance in bf16 — tested.
         # NOTE the metric key predates the r2 switch to capacity_fused;
         # earlier rounds measured the scatter-based path under this key.)
-        try:
-            ips = _measure_train("moe_small_patch16_224_expert8",
-                                 dispatch_mode="capacity_fused",
-                                 capacity_factor=1.25)
-            _emit("train_images_per_sec_moe_small_8e_capacity1.25_b128", ips,
-                  "images/sec", 0.9 * _roofline_train_ips(fwd_small_moe))
-        except Exception as e:  # noqa: BLE001
-            print(f"# cfg4 failed: {e}", file=sys.stderr)
+        ips = _measure_train("moe_small_patch16_224_expert8",
+                             dispatch_mode="capacity_fused",
+                             capacity_factor=1.25)
+        _emit("train_images_per_sec_moe_small_8e_capacity1.25_b128", ips,
+              "images/sec", 0.9 * _roofline_train_ips(fwd_small_moe))
+    elif cfg == "cfg2":
+        # flagship: ViT-S/16 Switch-8E full train step
+        ips = _measure_train("moe_small_patch16_224_expert8")
+        _emit("train_images_per_sec_per_chip_vit_s16_switch8e_224_bf16_b128",
+              ips, "images/sec", 0.9 * _roofline_train_ips(fwd_small_moe))
+    else:
+        raise SystemExit(f"unknown --cfg {cfg}")
 
+
+def main():
+    if "--cfg" in sys.argv:
+        _run_one(sys.argv[sys.argv.index("--cfg") + 1])
+        return
+
+    run_all = os.environ.get("BENCH_ALL", "1") != "0"
+
+    ok, diag = _probe_backend()
+    if not ok:
+        # One parseable line + nonzero exit, fast — never eat the driver's
+        # whole timeout re-initializing a dead backend per config.
+        print(json.dumps({
+            "metric": "bench_unavailable", "value": 0.0, "unit": "none",
+            "vs_baseline": 0.0, "detail": diag[-200:],
+        }), flush=True)
+        sys.exit(2)
+
+    if run_all:
+        _run_cfg_subprocess("cfg1", timeout=900)
+        _run_cfg_subprocess("cfg3", timeout=1200)
+        _run_cfg_subprocess("cfg4", timeout=1200)
         # cfg5: expert-parallel train step on the virtual 8-CPU mesh
         # (correctness + step-time artifact; real chips are not available).
         # Subprocess: the CPU mesh needs its own jax runtime config.
@@ -200,9 +265,14 @@ def main():
             print(f"# cfg5 failed: {e}", file=sys.stderr)
 
     # cfg2: flagship — ALWAYS LAST (the driver parses the last line)
-    ips = _measure_train("moe_small_patch16_224_expert8")
-    _emit("train_images_per_sec_per_chip_vit_s16_switch8e_224_bf16_b128",
-          ips, "images/sec", 0.9 * _roofline_train_ips(fwd_small_moe))
+    if not _run_cfg_subprocess("cfg2", timeout=1500):
+        print(json.dumps({
+            "metric": "train_images_per_sec_per_chip_vit_s16_switch8e_224_"
+                      "bf16_b128",
+            "value": 0.0, "unit": "images/sec", "vs_baseline": 0.0,
+            "detail": "flagship config failed or timed out; see stderr",
+        }), flush=True)
+        sys.exit(3)
 
 
 if __name__ == "__main__":

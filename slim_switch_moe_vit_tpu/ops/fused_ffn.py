@@ -270,7 +270,18 @@ def _bwd(dy, xs, w1, b1, w2, e_of_tile, dy_scale=None, tile=TILE_ROWS):
     n_tiles = Tp // tile
     if tile != TILE_ROWS:
         assert tile % TILE_ROWS == 0 and Tp % tile == 0
-        e_of_tile = e_of_tile[:: tile // TILE_ROWS]
+        # The caller claims (via layout_rows) that every ``tile``-row window
+        # spans a SINGLE expert; subsampling e_of_tile under a violated claim
+        # would silently mis-accumulate dw/db. Verify when concrete (the
+        # capacity paths build e_of_tile as a host constant); traced values
+        # can't be checked here — aligned_expert_layout owns the guarantee.
+        groups = e_of_tile.reshape(-1, tile // TILE_ROWS)
+        if not isinstance(groups, jax.core.Tracer):
+            gv = np.asarray(groups)
+            assert (gv == gv[:, :1]).all(), (
+                f"layout_rows={tile} claimed but a {tile}-row window spans "
+                "multiple experts; layout is only TILE_ROWS-aligned")
+        e_of_tile = groups[:, 0]
     has_scale = dy_scale is not None
     # f32 column vector (Tp, 1), block (tile, 1): the obvious
     # lane-major (1, 1, tile) bf16 block crashes the Mosaic compiler

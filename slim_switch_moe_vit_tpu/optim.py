@@ -140,6 +140,69 @@ class TimmCosineSchedule:
         return lr * (1.0 + self._noise(epoch))
 
 
+class TimmStepSchedule:
+    """lr(epoch) matching timm StepLRScheduler as driven by the reference CLI
+    (``--sched step --decay-epochs N --decay-rate R``): linear warmup, then
+    ``base_lr * R ** (epoch // N)``. timm does not clamp step decay to
+    ``min_lr``; lr-noise applies the same way as for cosine."""
+
+    def __init__(self, base_lr: float, epochs: int, *, decay_epochs: float = 30,
+                 decay_rate: float = 0.1, warmup_epochs: int = 5,
+                 warmup_lr: float = 1e-6,
+                 noise_range: typ.Optional[typ.Sequence[float]] = None,
+                 noise_pct: float = 0.67, noise_std: float = 1.0,
+                 noise_seed: int = 42):
+        self.base_lr = base_lr
+        self.epochs = epochs
+        self.decay_epochs = max(decay_epochs, 1e-9)
+        self.decay_rate = decay_rate
+        self.warmup_epochs = warmup_epochs
+        self.warmup_lr = warmup_lr
+        self._noise_helper = TimmCosineSchedule(
+            base_lr, epochs, noise_range=noise_range, noise_pct=noise_pct,
+            noise_std=noise_std, noise_seed=noise_seed)
+
+    def scale(self, epoch: int) -> float:
+        return self(epoch) / self.base_lr if self.base_lr > 0 else 0.0
+
+    def __call__(self, epoch: int) -> float:
+        if self.warmup_epochs > 0 and epoch < self.warmup_epochs:
+            slope = (self.base_lr - self.warmup_lr) / self.warmup_epochs
+            return self.warmup_lr + slope * epoch
+        lr = self.base_lr * self.decay_rate ** int(epoch // self.decay_epochs)
+        return lr * (1.0 + self._noise_helper._noise(epoch))
+
+
+SUPPORTED_SCHEDULERS = ("cosine", "step")
+
+
+def create_scheduler(sched: str, base_lr: float, epochs: int, *,
+                     warmup_epochs: int = 5, warmup_lr: float = 1e-6,
+                     min_lr: float = 1e-5, cooldown_epochs: int = 10,
+                     decay_epochs: float = 30, decay_rate: float = 0.1,
+                     noise_range=None, noise_pct: float = 0.67,
+                     noise_std: float = 1.0, noise_seed: int = 42):
+    """timm ``create_scheduler`` parity for the CLI surface this framework
+    honors (reference ``main.py:734``). Unsupported names raise instead of
+    silently substituting an algorithm (PARITY 2.1)."""
+    if sched == "cosine":
+        return TimmCosineSchedule(
+            base_lr, epochs, warmup_epochs=warmup_epochs, warmup_lr=warmup_lr,
+            min_lr=min_lr, cooldown_epochs=cooldown_epochs,
+            noise_range=noise_range, noise_pct=noise_pct, noise_std=noise_std,
+            noise_seed=noise_seed)
+    if sched == "step":
+        return TimmStepSchedule(
+            base_lr, epochs, decay_epochs=decay_epochs, decay_rate=decay_rate,
+            warmup_epochs=warmup_epochs, warmup_lr=warmup_lr,
+            noise_range=noise_range, noise_pct=noise_pct, noise_std=noise_std,
+            noise_seed=noise_seed)
+    raise ValueError(
+        f"--sched {sched!r} is not implemented; supported: "
+        f"{SUPPORTED_SCHEDULERS} (see PARITY.md 2.1 — this framework refuses "
+        "to silently substitute a schedule)")
+
+
 def scaled_lr(lr: float, batch_size: int, world_size: int,
               unscale_lr: bool) -> float:
     """Linear LR scaling: lr * global_batch / 512 (reference main.py:615-617)."""
@@ -148,29 +211,62 @@ def scaled_lr(lr: float, batch_size: int, world_size: int,
     return lr * batch_size * world_size / 512.0
 
 
-def make_optimizer(params, *, weight_decay: float = 0.05,
+SUPPORTED_OPTIMIZERS = ("adamw", "adam", "sgd", "nesterov", "momentum")
+
+
+def make_optimizer(params, *, opt: str = "adamw", weight_decay: float = 0.05,
                    betas: typ.Tuple[float, float] = (0.9, 0.999),
-                   eps: float = 1e-8,
+                   eps: float = 1e-8, momentum: float = 0.9,
                    clip_grad: typ.Optional[float] = None,
                    trainable_mask=None):
-    """AdamW core transforms; LR is applied separately per group in
+    """Optimizer core transforms; LR is applied separately per group in
     ``apply_updates_two_group`` so it can change per epoch without re-init.
+
+    ``opt`` mirrors the timm names the reference CLI exposes
+    (``main.py:729-731`` via ``create_optimizer_v2``):
+
+    - ``adamw`` — decoupled weight decay (default, the reference recipe).
+    - ``adam`` — torch Adam: weight decay is L2 added to the gradient
+      *before* the moment update.
+    - ``sgd`` / ``nesterov`` — torch SGD with Nesterov momentum (timm maps
+      plain ``sgd`` to nesterov=True); L2 weight decay on the gradient.
+    - ``momentum`` — SGD with heavy-ball (non-Nesterov) momentum.
+
+    Any other name raises — this framework refuses to silently substitute an
+    algorithm (PARITY 2.1). In all cases timm's no-decay filtering applies
+    (``wd_mask``).
 
     Returns (init_fn, update_fn) where update_fn(grads, state, params,
     lr_base, lr_gate) -> (updates, new_state); updates already include sign.
 
-    When neither grad clipping nor a trainable mask is requested, update_fn
-    also carries a ``fused_apply`` attribute — a single-pass Pallas
-    AdamW(+EMA) update (see ``ops/fused_adamw.py``) with identical math that
-    the train step prefers; the optax state layout is unchanged, so
-    checkpoints are interchangeable between the two paths.
+    When ``opt='adamw'`` and neither grad clipping nor a trainable mask is
+    requested, update_fn also carries a ``fused_apply`` attribute — a
+    single-pass Pallas AdamW(+EMA) update (see ``ops/fused_adamw.py``) with
+    identical math that the train step prefers; the optax state layout is
+    unchanged, so checkpoints are interchangeable between the two paths.
     """
+    if opt not in SUPPORTED_OPTIMIZERS:
+        raise ValueError(
+            f"--opt {opt!r} is not implemented; supported: "
+            f"{SUPPORTED_OPTIMIZERS} (see PARITY.md 2.1)")
     chain = []
     if clip_grad is not None and clip_grad > 0:
         chain.append(optax.clip_by_global_norm(clip_grad))
-    chain.append(optax.scale_by_adam(b1=betas[0], b2=betas[1], eps=eps))
-    if weight_decay:
-        chain.append(optax.add_decayed_weights(weight_decay, mask=wd_mask))
+    if opt == "adamw":
+        chain.append(optax.scale_by_adam(b1=betas[0], b2=betas[1], eps=eps))
+        if weight_decay:
+            chain.append(optax.add_decayed_weights(weight_decay, mask=wd_mask))
+    elif opt == "adam":
+        # torch Adam: L2 on the gradient BEFORE the moment update
+        if weight_decay:
+            chain.append(optax.add_decayed_weights(weight_decay, mask=wd_mask))
+        chain.append(optax.scale_by_adam(b1=betas[0], b2=betas[1], eps=eps))
+    else:  # sgd / nesterov / momentum — torch SGD semantics
+        if weight_decay:
+            chain.append(optax.add_decayed_weights(weight_decay, mask=wd_mask))
+        if momentum:
+            chain.append(optax.trace(decay=momentum,
+                                     nesterov=opt in ("sgd", "nesterov")))
     tx = optax.chain(*chain)
 
     gmask = gate_mask(params)
@@ -189,7 +285,8 @@ def make_optimizer(params, *, weight_decay: float = 0.05,
                 lambda u, t: jnp.where(t, u, 0.0), updates, tmask)
         return updates, state
 
-    if (clip_grad is None or clip_grad <= 0) and trainable_mask is None:
+    if (opt == "adamw" and (clip_grad is None or clip_grad <= 0)
+            and trainable_mask is None):
         from .ops.fused_adamw import fused_adamw_ema
 
         wdm = wd_mask(params)

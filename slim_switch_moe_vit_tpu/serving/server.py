@@ -73,6 +73,18 @@ class DynamicBatcher:
         self._closed = True  # new predict() calls fail fast, never hang
         self._q.put(self._STOP)
         self._worker.join(timeout=10)
+        # Drain anything that raced past the closed-check and landed behind
+        # _STOP — without this, that caller's done.wait() blocks forever.
+        while True:
+            try:
+                item = self._q.get_nowait()
+            except queue.Empty:
+                break
+            if item is self._STOP:
+                continue
+            _, slot, done = item
+            slot["error"] = RuntimeError("DynamicBatcher is closed")
+            done.set()
 
     def _run(self):
         import time
@@ -163,8 +175,16 @@ def _make_handler(batcher: DynamicBatcher, predictor: Predictor):
                     self._send(400, {"error": f"{type(e).__name__}: {e}"})
                     return
                 k = req.get("k")
-                if k:
-                    k = min(int(k), logits.shape[1])
+                if k is not None:
+                    try:
+                        k = int(k)
+                    except (TypeError, ValueError):
+                        self._send(400, {"error": f"invalid k: {k!r}"})
+                        return
+                    if k < 1:
+                        self._send(400, {"error": f"k must be >= 1, got {k}"})
+                        return
+                    k = min(k, logits.shape[1])
                     idx = np.argsort(-logits, axis=1)[:, :k]
                     z = logits - logits.max(axis=1, keepdims=True)
                     p = np.exp(z)

@@ -80,3 +80,119 @@ def test_distributed_helpers_single_host():
     out = []
     D.save_on_master(lambda v: out.append(v), 42)
     assert out == [42]
+
+
+# ---------------------------------------------------------------------------
+# timm optimizer surface (r4): sgd/momentum/adam parity vs torch, step sched,
+# loud failure on unsupported names (VERDICT r3 #5)
+# ---------------------------------------------------------------------------
+
+def _tiny_params():
+    rng = np.random.RandomState(0)
+    return {
+        "dense": {
+            "kernel": jnp.asarray(rng.randn(4, 3), jnp.float32),
+            "bias": jnp.asarray(rng.randn(3), jnp.float32),
+        }
+    }
+
+
+def _torch_reference_run(opt_name, params, grads_seq, lr, wd, momentum=0.9,
+                         betas=(0.9, 0.999), eps=1e-8):
+    import torch
+
+    kernel = torch.nn.Parameter(torch.tensor(np.asarray(params["dense"]["kernel"])))
+    bias = torch.nn.Parameter(torch.tensor(np.asarray(params["dense"]["bias"])))
+    groups = [{"params": [kernel], "weight_decay": wd},
+              {"params": [bias], "weight_decay": 0.0}]  # timm no-decay filter
+    if opt_name in ("sgd", "nesterov"):
+        topt = torch.optim.SGD(groups, lr=lr, momentum=momentum, nesterov=True)
+    elif opt_name == "momentum":
+        topt = torch.optim.SGD(groups, lr=lr, momentum=momentum, nesterov=False)
+    elif opt_name == "adam":
+        topt = torch.optim.Adam(groups, lr=lr, betas=betas, eps=eps)
+    else:
+        raise ValueError(opt_name)
+    for gk, gb in grads_seq:
+        kernel.grad = torch.tensor(np.asarray(gk))
+        bias.grad = torch.tensor(np.asarray(gb))
+        topt.step()
+    return kernel.detach().numpy(), bias.detach().numpy()
+
+
+def _optax_run(opt_name, params, grads_seq, lr, wd, momentum=0.9):
+    oi, ou = optim.make_optimizer(params, opt=opt_name, weight_decay=wd,
+                                  momentum=momentum)
+    st = oi(params)
+    p = params
+    for gk, gb in grads_seq:
+        grads = {"dense": {"kernel": jnp.asarray(gk), "bias": jnp.asarray(gb)}}
+        updates, st = ou(grads, st, p, jnp.float32(lr), jnp.float32(lr))
+        p = jax.tree.map(lambda a, u: a + u, p, updates)
+    return np.asarray(p["dense"]["kernel"]), np.asarray(p["dense"]["bias"])
+
+
+def _run_parity(opt_name):
+    params = _tiny_params()
+    rng = np.random.RandomState(1)
+    grads_seq = [(rng.randn(4, 3).astype(np.float32),
+                  rng.randn(3).astype(np.float32)) for _ in range(4)]
+    tk, tb = _torch_reference_run(opt_name, params, grads_seq, 1e-2, 0.05)
+    jk, jb = _optax_run(opt_name, params, grads_seq, 1e-2, 0.05)
+    np.testing.assert_allclose(jk, tk, rtol=2e-5, atol=2e-6)
+    np.testing.assert_allclose(jb, tb, rtol=2e-5, atol=2e-6)
+
+
+def test_sgd_nesterov_matches_torch():
+    _run_parity("sgd")
+
+
+def test_sgd_momentum_matches_torch():
+    _run_parity("momentum")
+
+
+def test_adam_l2_matches_torch():
+    _run_parity("adam")
+
+
+def test_step_schedule_matches_timm_formula():
+    s = optim.create_scheduler("step", 1e-3, 100, warmup_epochs=5,
+                               warmup_lr=1e-6, decay_epochs=30, decay_rate=0.1)
+    # warmup ramp
+    assert s(0) == 1e-6
+    assert abs(s(4) - (1e-6 + 4 * (1e-3 - 1e-6) / 5)) < 1e-12
+    # step decay: base * rate ** (epoch // decay_epochs)
+    assert abs(s(5) - 1e-3) < 1e-12
+    assert abs(s(29) - 1e-3) < 1e-12
+    assert abs(s(30) - 1e-4) < 1e-12
+    assert abs(s(65) - 1e-5) < 1e-12
+    # cosine still the default factory path
+    c = optim.create_scheduler("cosine", 1e-3, 100)
+    assert isinstance(c, optim.TimmCosineSchedule)
+
+
+def test_unsupported_opt_and_sched_raise():
+    import pytest
+
+    params = _tiny_params()
+    with pytest.raises(ValueError, match="--opt 'lamb'"):
+        optim.make_optimizer(params, opt="lamb")
+    with pytest.raises(ValueError, match="--sched 'plateau'"):
+        optim.create_scheduler("plateau", 1e-3, 100)
+
+
+def test_sgd_trains_e2e_one_step():
+    model = create_model("deit_tiny_patch16_224", num_classes=5, img_size=32)
+    probe = create_train_state(model, (1, 32, 32, 3))
+    oi, ou = optim.make_optimizer(probe.params, opt="sgd", weight_decay=0.0,
+                                  momentum=0.9)
+    state = create_train_state(model, (1, 32, 32, 3), opt_init=oi)
+    crit = losses.make_base_criterion(False, 0.1, False)
+    step = make_train_step(model, ou, crit, donate=False)
+    x = jax.random.normal(jax.random.PRNGKey(0), (4, 32, 32, 3))
+    y = jnp.array([0, 1, 2, 3])
+    new_state, m = step(state, x, y, jnp.float32(1e-2), jnp.float32(1e-2))
+    assert np.isfinite(float(m["loss"]))
+    moved = float(jnp.abs(
+        new_state.params["head"]["kernel"] - state.params["head"]["kernel"]).sum())
+    assert moved > 0
