@@ -65,8 +65,15 @@ def _measure_train(name, batch=128, img=224, K=40, reps=3, **model_kwargs):
     # 84.2 ms/step at the flagship shape (the scan carry costs ~1 ms/step),
     # and the ~4.3 ms/step host dispatch hides entirely under the device
     # step. One value fetch per K steps amortizes the ~27 ms tunnel RTT.
+    # BENCH_FUSED_OPT=1: the single-pass Pallas AdamW+EMA update
+    # (ops/fused_adamw.py) instead of the optax chain — same math/state
+    # layout; measured r2 in the scanned harness as slower (reshape copies),
+    # kept switchable to re-measure in the per-step donated loop (VERDICT r3
+    # #3b)
     step = make_train_step(model, opt_update, crit, ema_decay=0.99996,
-                           donate=True)
+                           donate=True,
+                           use_fused_optimizer=os.environ.get(
+                               "BENCH_FUSED_OPT", "0") == "1")
 
     x = jnp.asarray(np.random.RandomState(0).randn(batch, img, img, 3),
                     jnp.float32)

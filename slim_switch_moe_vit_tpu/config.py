@@ -44,6 +44,11 @@ def get_args_parser():
     parser.add_argument("--clip-grad", type=float, default=None, metavar="NORM")
     parser.add_argument("--momentum", type=float, default=0.9, metavar="M")
     parser.add_argument("--weight-decay", type=float, default=0.05)
+    parser.add_argument("--fused-optimizer", action="store_true",
+                        help="single-pass Pallas AdamW(+EMA) update "
+                             "(ops/fused_adamw.py); identical math and optax "
+                             "state layout, adamw only, no clip-grad/"
+                             "attn-only")
 
     # Learning rate schedule parameters
     parser.add_argument("--sched", default="cosine", type=str, metavar="SCHEDULER")
@@ -168,7 +173,8 @@ def get_args_parser():
     parser.add_argument("--eval-capacity-factor", default=2.0, type=float)
     parser.add_argument("--moe-dispatch", default="auto",
                         choices=["auto", "fused", "ragged", "capacity",
-                                 "capacity_fused", "expert_choice", "dense"],
+                                 "capacity_fused", "capacity_fused_a2a",
+                                 "expert_choice", "dense"],
                         help="MoE dispatch: fused (dropless + fused Pallas "
                              "expert FFN, fastest on TPU), ragged (dropless "
                              "sort-based lax.ragged_dot), capacity (static "

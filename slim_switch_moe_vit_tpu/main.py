@@ -186,6 +186,10 @@ def main(args):
         clip_grad=args.clip_grad,
         trainable_mask=optim.attn_only_mask if args.attn_only else None,
     )
+    if args.fused_optimizer and not hasattr(opt_update, "fused_apply"):
+        print("WARNING: --fused-optimizer requested but unavailable "
+              "(needs --opt adamw, no --clip-grad, no --attn-only); "
+              "using the optax chain")
     state = create_train_state(model, input_shape, seed=seed,
                                opt_init=opt_init, use_ema=args.model_ema)
     del probe_state
@@ -239,6 +243,7 @@ def main(args):
         mixup_fn=mixup_fn, bce_loss=args.bce_loss,
         augment_fn=device_augment,
         set_training_mode=args.train_mode,
+        use_fused_optimizer=args.fused_optimizer,
     )
     eval_step_pre = engine.make_eval_step(model, preprocess_fn=eval_normalize)
 

@@ -41,6 +41,11 @@ class MoEMlp(nn.Module):
       expert shard (GSPMD cannot partition a pallas_call), partials psum
       over the expert axis; capacity priority is per data shard (FastMoE's
       per-rank order).
+    - 'capacity_fused_a2a': same as 'capacity_fused' single-chip; under an
+      expert mesh, exchanges dispatched rows via all_to_all (FastMoE's
+      global exchange) instead of psum-ing partials — each expert shard
+      owns a 1/ep token chunk end-to-end (ops/moe.py::
+      moe_forward_fused_ep_a2a).
     - 'expert_choice': experts pick their top-capacity tokens (Zhou et al.
       2022) — perfectly balanced, sort-free; NOT FastMoE parity.
     - 'dense': exact O(E) oracle (tests/parity only).
@@ -91,7 +96,7 @@ class MoEMlp(nn.Module):
             import jax
 
             mode = "fused" if jax.default_backend() == "tpu" else "ragged"
-        if (mode in ("fused", "capacity_fused")
+        if (mode in ("fused", "capacity_fused", "capacity_fused_a2a")
                 and (dropout_rng is not None or h % 2 != 0)):
             # fused kernel: no dropout path; even hidden only
             mode = "ragged" if mode == "fused" else "capacity"
@@ -100,14 +105,21 @@ class MoEMlp(nn.Module):
             y, aux = moe_ops.moe_forward_fused(
                 flat, router_w, router_b, w1, b1, w2, b2, top_k=self.top_k,
             )
-        elif mode == "capacity_fused":
+        elif mode in ("capacity_fused", "capacity_fused_a2a"):
             from ..parallel.sharding import mesh_axis_size
 
             if mesh_axis_size(EXPERT_AXIS) > 1:
-                # expert-parallel form: shard_map keeps the fused Pallas
+                # expert-parallel forms: shard_map keeps the fused Pallas
                 # kernel per expert shard (GSPMD cannot partition a
-                # pallas_call); psum over the expert axis combines
-                y, aux = moe_ops.moe_forward_fused_ep(
+                # pallas_call). 'capacity_fused' combines partials with a
+                # psum over the expert axis; 'capacity_fused_a2a' exchanges
+                # dispatched rows with all_to_all (FastMoE's global
+                # exchange) — less ICI from ep=8 up, chunked capacity
+                # priority (see ops/moe.py docstrings for the trade)
+                ep_fn = (moe_ops.moe_forward_fused_ep_a2a
+                         if mode == "capacity_fused_a2a"
+                         else moe_ops.moe_forward_fused_ep)
+                y, aux = ep_fn(
                     flat, router_w, router_b, w1, b1, w2, b2,
                     top_k=self.top_k, capacity_factor=cf,
                 )

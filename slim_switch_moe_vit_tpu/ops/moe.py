@@ -643,6 +643,119 @@ def moe_forward_fused_ep(x: jnp.ndarray, router_w, router_b, w1, b1, w2,
                                "drop_fraction": dropf}
 
 
+def moe_forward_fused_ep_a2a(x: jnp.ndarray, router_w, router_b, w1, b1,
+                             w2, b2, *, top_k: int = 2,
+                             capacity_factor: float = 2.0,
+                             capacity: typ.Optional[int] = None):
+    """Expert-parallel ``capacity_fused`` with an all_to_all row exchange —
+    FastMoE's global exchange (``fmoe/layers.py`` scatter/gather over ranks;
+    SURVEY §2.9) expressed the TPU way.
+
+    The psum form (``moe_forward_fused_ep``) replicates routing + dispatch
+    across the expert axis and reduces full (T, d) partials: ~2·(ep-1)/ep·T·d
+    bytes over ICI. Here each expert shard instead owns a 1/ep TOKEN CHUNK of
+    its data shard's batch end-to-end:
+
+    1. routes its own chunk and builds the chunk's static capacity layout
+       (counting-sort, dest-expert-major — so the per-destination-shard row
+       blocks are already contiguous),
+    2. ``all_to_all`` sends each destination shard its experts' static
+       capacity regions (k·cf·T·(ep-1)/ep² rows — the "a2a of dispatched
+       rows"),
+    3. runs the fused Pallas FFN on rows from ALL source chunks bound for
+       its local experts,
+    4. ``all_to_all`` returns outputs to their source chunk, which combines
+       its own tokens, and an ``all_gather`` reassembles the full (T, d)
+       batch (expert-replicated, as the dense layers downstream expect).
+
+    ICI bytes (per shard, k=2 cf=1): a2a 2·k·cf·T·(ep-1)/ep²·d + gather
+    (ep-1)/ep·T·d ≈ the psum form at ep=4 and strictly less from ep=8 up; it
+    also splits routing/dispatch compute ep ways instead of replicating it.
+
+    Semantics: capacity priority is per (data shard, token chunk) — a finer
+    drop granularity than the psum form's per-data-shard priority (both are
+    faithful FastMoE per-rank orderings, just at different rank counts: this
+    one behaves exactly like dp·ep FastMoE ranks). With capacity high enough
+    that nothing drops, outputs are identical to the psum form and the
+    single-chip path (tests/test_ep_capacity_fused.py).
+    """
+    from ..parallel.sharding import DATA_AXIS, EXPERT_AXIS, mesh_axis_size
+    from .fused_ffn import TILE_ROWS, fused_expert_ffn
+
+    E = w1.shape[0]
+    ep = mesh_axis_size(EXPERT_AXIS)
+    assert E % ep == 0, (E, ep)
+    E_local = E // ep
+
+    def local_fn(x, router_w, router_b, w1, b1, w2, b2):
+        T, d = x.shape                      # this data shard's tokens
+        if T % ep != 0:
+            raise ValueError(
+                f"a2a EP needs the per-data-shard token count ({T}) "
+                f"divisible by the expert axis ({ep}); pad the batch or use "
+                "dispatch_mode='capacity_fused' (psum form)")
+        Tc = T // ep
+        j = jax.lax.axis_index(EXPERT_AXIS)
+        xc = jax.lax.dynamic_slice_in_dim(x, j * Tc, Tc)  # my token chunk
+        logits = jnp.dot(xc.astype(jnp.float32),
+                         router_w.astype(jnp.float32)) + router_b
+        gate_w, expert_idx = naive_topk_gate(logits, top_k)
+        cap = capacity
+        if cap is None:
+            cap = compute_capacity(Tc, E, top_k, capacity_factor)
+        gather_idx, pair_slot, _, w_slot, keep = aligned_expert_layout(
+            expert_idx, E, gate_w=gate_w, weight_dtype=x.dtype, capacity=cap)
+        Cp = ((cap + 1 + TILE_ROWS - 1) // TILE_ROWS) * TILE_ROWS
+        # (E*Cp, d), ordered by global expert id -> the rows bound for shard
+        # e are the contiguous block [e*E_local*Cp, (e+1)*E_local*Cp)
+        xs = _dispatch_gather(xc, gather_idx, pair_slot, keep)
+        xr = jax.lax.all_to_all(xs, EXPERT_AXIS, split_axis=0,
+                                concat_axis=0, tiled=True)
+        # xr arrives SOURCE-chunk-major: (ep src blocks) x (E_local experts
+        # x Cp rows). The fused FFN backward accumulates each expert's dw
+        # over a CONSECUTIVE tile run and flushes once (fused_ffn.py::_bwd),
+        # so interleaved expert regions would silently drop contributions —
+        # regroup expert-major first (a static relayout, ~0.1 ms at flagship
+        # scale; a scalar-prefetch row-permutation in the kernel's index
+        # maps could remove even that — see PARITY EP notes).
+        xr = xr.reshape(ep, E_local, Cp, d).transpose(1, 0, 2, 3)
+        xr = xr.reshape(ep * E_local * Cp, d)
+        e_of_tile = jnp.asarray(np.repeat(
+            np.arange(E_local, dtype=np.int32), ep * Cp // TILE_ROWS))
+        out = fused_expert_ffn(
+            xr, w1.astype(x.dtype), b1.astype(jnp.float32),
+            w2.astype(x.dtype), b2.astype(jnp.float32), e_of_tile)
+        # back to source-major for the return exchange
+        out = out.reshape(E_local, ep, Cp, d).transpose(1, 0, 2, 3)
+        out = out.reshape(ep * E_local * Cp, d)
+        out_back = jax.lax.all_to_all(out, EXPERT_AXIS, split_axis=0,
+                                      concat_axis=0, tiled=True)
+        # out_back is back in my chunk's dest-major layout: combine my tokens
+        gate_eff = gate_w * keep.astype(gate_w.dtype)
+        yc = _combine_slots(out_back, pair_slot, gate_eff, gather_idx, w_slot)
+        y = jax.lax.all_gather(yc, EXPERT_AXIS, axis=0, tiled=True)
+        balance = jax.lax.pmean(jax.lax.pmean(
+            load_balance_loss(logits, expert_idx, E), EXPERT_AXIS), DATA_AXIS)
+        dropf = jax.lax.pmean(jax.lax.pmean(
+            1.0 - jnp.mean(keep.astype(jnp.float32)), EXPERT_AXIS), DATA_AXIS)
+        return y, balance, dropf
+
+    P = jax.sharding.PartitionSpec
+    y, balance, dropf = jax.shard_map(
+        local_fn,
+        in_specs=(P(DATA_AXIS, None), P(), P(), P(EXPERT_AXIS, None, None),
+                  P(EXPERT_AXIS, None), P(EXPERT_AXIS, None, None),
+                  P(EXPERT_AXIS, None)),
+        out_specs=(P(DATA_AXIS, None), P(), P()),
+        # same vma reasoning as moe_forward_fused_ep: the checker can't see
+        # through pallas_call; y is all_gathered over expert -> P(data), aux
+        # scalars are pmean'd over both axes
+        check_vma=False,
+    )(x, router_w, router_b, w1, b1, w2, b2)
+    return y.astype(x.dtype), {"balance_loss": balance,
+                               "drop_fraction": dropf}
+
+
 def moe_forward_expert_choice(x: jnp.ndarray, router_w, router_b, w1, b1,
                               w2, b2, *, capacity_factor: float = 2.0,
                               capacity: typ.Optional[int] = None,

@@ -1,0 +1,150 @@
+"""Expert-parallel capacity_fused via all_to_all row exchange
+(ops/moe.py::moe_forward_fused_ep_a2a) on the 8-device virtual CPU mesh.
+
+Pins (a) parity with the single-chip dropless path when capacity is generous
+(nothing drops -> the chunked priority cannot diverge), (b) the documented
+per-(data-shard, chunk) capacity semantics against an explicitly-built
+per-chunk reference, (c) gradient parity through the a2a pair + all_gather
+transpose, and (d) the model-level route: dispatch_mode='capacity_fused_a2a'
+compiles to an HLO containing a real all-to-all.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from slim_switch_moe_vit_tpu.models import create_model
+from slim_switch_moe_vit_tpu.ops import moe as moe_ops
+from slim_switch_moe_vit_tpu.parallel import (
+    batch_sharding, make_mesh, shard_params,
+)
+
+E, D, H, K = 8, 16, 32, 2
+
+
+def _mk_weights(seed=0):
+    rs = np.random.RandomState(seed)
+    return dict(
+        router_w=jnp.asarray(rs.randn(D, E) * 0.5, jnp.float32),
+        router_b=jnp.asarray(rs.randn(E) * 0.1, jnp.float32),
+        w1=jnp.asarray(rs.randn(E, D, H) * 0.1, jnp.float32),
+        b1=jnp.asarray(rs.randn(E, H) * 0.1, jnp.float32),
+        w2=jnp.asarray(rs.randn(E, H, D) * 0.1, jnp.float32),
+        b2=jnp.asarray(rs.randn(E, D) * 0.1, jnp.float32),
+    )
+
+
+def _tokens(T, seed=1):
+    return jnp.asarray(np.random.RandomState(seed).randn(T, D), jnp.float32)
+
+
+def _run_a2a(w, x, mesh, **kw):
+    with jax.set_mesh(mesh):
+        return jax.jit(lambda x, w: moe_ops.moe_forward_fused_ep_a2a(
+            x, w["router_w"], w["router_b"], w["w1"], w["b1"], w["w2"],
+            w["b2"], top_k=K, **kw))(x, w)
+
+
+def test_a2a_matches_dropless_when_capacity_generous():
+    w = _mk_weights()
+    x = _tokens(64)
+    y_ref, aux_ref = moe_ops.moe_forward_fused(
+        x, w["router_w"], w["router_b"], w["w1"], w["b1"], w["w2"], w["b2"],
+        top_k=K)  # dropless
+    y, aux = _run_a2a(w, x, make_mesh(n_data=1, n_expert=4),
+                      capacity_factor=8.0)
+    assert float(aux["drop_fraction"]) == 0.0
+    np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref), atol=1e-5)
+    # balance loss is computed per token CHUNK (like the psum form computes
+    # it per data shard) — pinned against the explicit per-chunk reference in
+    # test_a2a_2x4_mesh_chunked_capacity_semantics; here just sanity
+    assert np.isfinite(float(aux["balance_loss"]))
+    del aux_ref
+
+
+def test_a2a_2x4_mesh_chunked_capacity_semantics():
+    """Capacity priority runs per (data shard, token chunk) — equivalent to
+    dp*ep FastMoE ranks. Reference: single-device capacity_fused applied to
+    each of the 2*4 chunks with the chunk capacity."""
+    w = _mk_weights(3)
+    T = 256
+    x = _tokens(T, seed=5)
+    dp, ep = 2, 4
+    Tc = T // (dp * ep)
+    cap = moe_ops.compute_capacity(Tc, E, K, 0.75)
+    chunks, drops, balances = [], [], []
+    for c in range(dp * ep):
+        xc = x[c * Tc:(c + 1) * Tc]
+        yc, auxc = moe_ops.moe_forward_fused(
+            xc, w["router_w"], w["router_b"], w["w1"], w["b1"], w["w2"],
+            w["b2"], top_k=K, capacity=cap)
+        chunks.append(yc)
+        drops.append(float(auxc["drop_fraction"]))
+        balances.append(float(auxc["balance_loss"]))
+    y_ref = jnp.concatenate(chunks)
+
+    y, aux = _run_a2a(w, x, make_mesh(n_data=dp, n_expert=ep),
+                      capacity_factor=0.75)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref), atol=1e-5)
+    np.testing.assert_allclose(float(aux["drop_fraction"]), np.mean(drops),
+                               atol=1e-6)
+    np.testing.assert_allclose(float(aux["balance_loss"]), np.mean(balances),
+                               rtol=1e-5)
+    # real pairs must have been dropped for this test to mean anything
+    assert float(aux["drop_fraction"]) > 0.05
+
+
+def test_a2a_gradients_match_single_device():
+    w = _mk_weights(7)
+    x = _tokens(64, seed=9)
+
+    def loss_single(w, x):
+        y, _ = moe_ops.moe_forward_fused(
+            x, w["router_w"], w["router_b"], w["w1"], w["b1"], w["w2"],
+            w["b2"], top_k=K, capacity_factor=8.0)
+        return jnp.sum(y * y)
+
+    def loss_ep(w, x):
+        y, _ = moe_ops.moe_forward_fused_ep_a2a(
+            x, w["router_w"], w["router_b"], w["w1"], w["b1"], w["w2"],
+            w["b2"], top_k=K, capacity_factor=8.0)
+        return jnp.sum(y * y)
+
+    # capacity_factor 8.0: nothing drops on either side, so both compute the
+    # same mathematical function and gradients must agree
+    g_ref = jax.grad(loss_single)(w, x)
+    mesh = make_mesh(n_data=2, n_expert=4)
+    with jax.set_mesh(mesh):
+        g = jax.jit(jax.grad(loss_ep))(w, x)
+    for k in g_ref:
+        np.testing.assert_allclose(
+            np.asarray(g[k]), np.asarray(g_ref[k]), atol=3e-4,
+            err_msg=f"grad mismatch for {k}")
+
+
+def test_model_routes_a2a_under_mesh_and_hlo_has_all_to_all():
+    model = create_model("moe_tiny_patch16_224_expert8", num_classes=10,
+                         img_size=32, dispatch_mode="capacity_fused_a2a",
+                         capacity_factor=8.0)
+    x = jax.random.normal(jax.random.PRNGKey(0), (8, 32, 32, 3))
+    variables = model.init({"params": jax.random.PRNGKey(1)}, x,
+                           deterministic=True)
+    ref = jax.jit(lambda v, x: model.apply(v, x, deterministic=True))(
+        variables, x)
+
+    mesh = make_mesh(n_data=2, n_expert=4)
+    with jax.set_mesh(mesh):
+        sharded = shard_params(variables["params"], mesh)
+        xs = jax.device_put(x, batch_sharding(mesh))
+        out = jax.jit(lambda p, x: model.apply({"params": p}, x,
+                                               deterministic=True))(sharded, xs)
+        # capacity_factor 8.0 -> nothing drops -> chunked priority cannot
+        # diverge from the single-device reference
+        np.testing.assert_allclose(np.asarray(ref), np.asarray(out),
+                                   atol=2e-5)
+
+        compiled = jax.jit(
+            lambda p, x: model.apply({"params": p}, x, deterministic=True)
+        ).lower(sharded, xs).compile()
+        hlo = compiled.as_text()
+        assert "all-to-all" in hlo, \
+            "a2a EP form compiled without an all-to-all"
