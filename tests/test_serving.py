@@ -290,6 +290,19 @@ def test_http_server_end_to_end(tiny_export):
             raise AssertionError("expected HTTP 400")
         except urllib.error.HTTPError as e:
             assert e.code == 400
+
+        # invalid k values -> 400 (negative would otherwise slice wrong;
+        # non-int would surface as a 500)
+        for bad_k in (-1, 0, "two"):
+            body = json.dumps({"instances": x.tolist(), "k": bad_k}).encode()
+            req = urllib.request.Request(
+                f"http://127.0.0.1:{port}/v1/predict", data=body,
+                headers={"Content-Type": "application/json"})
+            try:
+                urllib.request.urlopen(req, timeout=60)
+                raise AssertionError(f"expected HTTP 400 for k={bad_k!r}")
+            except urllib.error.HTTPError as e:
+                assert e.code == 400, (bad_k, e.code)
     finally:
         server.shutdown()
         batcher.close()
