@@ -7,6 +7,7 @@ number is a CORRECTNESS + step-time artifact for the sharded program, not a
 hardware throughput claim (CPU mesh ~= emulation); vs_baseline is null.
 """
 import json
+import os
 import sys
 import time
 
@@ -42,9 +43,14 @@ def main():
     # keeps the EP-relevant structure — 32 experts, 4-way expert sharding,
     # capacity dispatch, all_to_all — on the tiny backbone. What is being
     # validated/timed is the sharded dispatch program, not backbone FLOPs.
+    # EP_BENCH_MODE: 'capacity' (graded default — GSPMD all_to_all),
+    # 'capacity_fused' (shard_map + psum), 'capacity_fused_a2a' (shard_map +
+    # a2a row exchange). Manual runs of the non-default modes feed PARITY's
+    # EP comparison table; the graded cfg5 line stays on the default.
+    mode = os.environ.get("EP_BENCH_MODE", "capacity")
     model = create_model("moe_tiny_patch16_224_expert8", num_classes=1000,
                          img_size=img, num_experts=32, capacity_factor=2.0,
-                         dispatch_mode="capacity", attn_impl="xla",
+                         dispatch_mode=mode, attn_impl="xla",
                          ln_impl="xla")
     probe = create_train_state(model, (1, img, img, 3))
     opt_init, opt_update = optim.make_optimizer(probe.params,
@@ -79,8 +85,9 @@ def main():
             times.append((time.perf_counter() - t0) / K)
         dt = min(times)
 
+    suffix = "" if mode == "capacity" else f"_{mode}"
     print(json.dumps({
-        "metric": "ep_train_step_ms_32experts_2x4_virtual_cpu_mesh",
+        "metric": f"ep_train_step_ms_32experts_2x4_virtual_cpu_mesh{suffix}",
         "value": round(dt * 1000, 1),
         "unit": "ms/step",
         "vs_baseline": None,

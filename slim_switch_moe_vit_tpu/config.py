@@ -44,6 +44,10 @@ def get_args_parser():
     parser.add_argument("--clip-grad", type=float, default=None, metavar="NORM")
     parser.add_argument("--momentum", type=float, default=0.9, metavar="M")
     parser.add_argument("--weight-decay", type=float, default=0.05)
+    parser.add_argument("--async-checkpoint", action="store_true",
+                        help="commit checkpoints on a background thread "
+                             "(Orbax AsyncCheckpointer); the train loop "
+                             "continues while the save lands")
     parser.add_argument("--fused-optimizer", action="store_true",
                         help="single-pass Pallas AdamW(+EMA) update "
                              "(ops/fused_adamw.py); identical math and optax "

@@ -369,7 +369,8 @@ def main(args):
                     # config
                     save_checkpoint(str(output_dir / "checkpoint"), state,
                                     epoch, extra={"args": vars(args)},
-                                    is_main=is_main_process())
+                                    is_main=is_main_process(),
+                                    use_async=args.async_checkpoint)
 
                 test_stats = engine.evaluate(
                     state, eval_step_pre, loader_val,
@@ -395,7 +396,8 @@ def main(args):
                         save_checkpoint(str(output_dir / "best_checkpoint"),
                                         state, epoch,
                                         extra={"args": vars(args)},
-                                        is_main=is_main_process())
+                                        is_main=is_main_process(),
+                                        use_async=args.async_checkpoint)
                 print(f"Max accuracy: {max_accuracy:.2f}%")
                 if writer:
                     writer.log_scalar("max_acc", max_accuracy, epoch)
@@ -422,6 +424,9 @@ def main(args):
             last_task_end = current_task_end
             start_epoch = 0  # resume offset only applies to the first task
 
+    from .utils.checkpoint import wait_for_checkpoints
+
+    wait_for_checkpoints()  # async saves must commit before exit
     total_time = time.time() - start_time
     print("Training time {}".format(
         str(datetime.timedelta(seconds=int(total_time)))))

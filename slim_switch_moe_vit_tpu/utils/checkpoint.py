@@ -32,14 +32,43 @@ def _ckptr():
     return ocp.PyTreeCheckpointer()
 
 
+_ASYNC_CKPTR = None
+
+
+def _async_ckptr():
+    """Singleton Orbax AsyncCheckpointer: device->host copies happen in the
+    save call, the disk commit runs on a background thread — the train loop
+    continues into the next epoch while the checkpoint lands. Orbax
+    serializes consecutive async saves internally."""
+    global _ASYNC_CKPTR
+    if _ASYNC_CKPTR is None:
+        import orbax.checkpoint as ocp
+
+        _ASYNC_CKPTR = ocp.AsyncCheckpointer(ocp.PyTreeCheckpointHandler())
+    return _ASYNC_CKPTR
+
+
+def wait_for_checkpoints():
+    """Block until every in-flight async save has committed. Call before
+    process exit and before restoring from a path that might still be
+    mid-commit."""
+    if _ASYNC_CKPTR is not None:
+        _ASYNC_CKPTR.wait_until_finished()
+
+
 def save_checkpoint(path: str, state, epoch: int, extra: typ.Optional[dict] = None,
-                    is_main: bool = True):
+                    is_main: bool = True, use_async: bool = False):
     """Write the train-state payload (rank-0 only, reference utils.py:264-266).
 
     ``extra={"args": vars(args)}`` mirrors the reference's per-checkpoint args
     record (``main.py:898-906``); it lands in a JSON sidecar
     ``<path>.args.json`` (Orbax pytrees hold arrays, not namespaces) so a
     resumed run can reconstruct its config via ``load_checkpoint_args``.
+
+    ``use_async=True`` commits on a background thread (``--async-checkpoint``;
+    beyond-reference — the torch reference blocks the loop on
+    ``torch.save``); the payload is snapshot at call time, so the ongoing
+    epoch cannot mutate what lands on disk.
     """
     if not is_main:
         return
@@ -57,7 +86,10 @@ def save_checkpoint(path: str, state, epoch: int, extra: typ.Optional[dict] = No
     if extra:
         payload["extra"] = extra
     path = os.path.abspath(path)
-    _ckptr().save(path, payload, force=True)
+    if use_async:
+        _async_ckptr().save(path, payload, force=True)
+    else:
+        _ckptr().save(path, payload, force=True)
     if args_record is not None:
         import json
 
@@ -78,6 +110,7 @@ def load_checkpoint_args(path: str) -> typ.Optional[dict]:
 
 def restore_checkpoint(path: str, state) -> typ.Tuple[typ.Any, int]:
     """Restore into an existing state skeleton; returns (state, epoch)."""
+    wait_for_checkpoints()  # a same-process async save might still be landing
     template = {
         "params": state.params,
         "opt_state": state.opt_state,

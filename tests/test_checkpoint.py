@@ -127,3 +127,35 @@ def test_pos_embed_resize_on_import():
     out = resize_pos_embed(pos, 1, 2)  # 14x14 -> 2x2 grid
     assert out.shape == (1, 5, 8)
     np.testing.assert_allclose(np.asarray(out[:, 0]), np.asarray(pos[:, 0]))
+
+
+def test_async_checkpoint_roundtrip_bitexact(tmp_path):
+    """--async-checkpoint path: background commit + wait + restore must be
+    bit-identical to the sync path (same Orbax payload layout)."""
+    from slim_switch_moe_vit_tpu.utils.checkpoint import wait_for_checkpoints
+
+    model = create_model("resmoe_tiny_patch16_224_expert8", num_classes=5,
+                         img_size=32)
+    oi, _ = optim.make_optimizer(
+        create_train_state(model, (1, 32, 32, 3)).params)
+    state = create_train_state(model, (1, 32, 32, 3), opt_init=oi,
+                               use_ema=True)
+    save_checkpoint(str(tmp_path / "ck_async"), state, epoch=7,
+                    extra={"args": {"model": "m"}}, use_async=True)
+    wait_for_checkpoints()
+    # restore_checkpoint also waits internally — exercise that path too by
+    # immediately issuing a second async save and restoring it
+    save_checkpoint(str(tmp_path / "ck_async2"), state, epoch=8,
+                    use_async=True)
+    state2, epoch = restore_checkpoint(str(tmp_path / "ck_async2"), state)
+    assert epoch == 8
+    for a, b in zip(jax.tree.leaves(state.params),
+                    jax.tree.leaves(state2.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # args sidecar written by the async path as well
+    import json
+    import os
+
+    assert os.path.exists(str(tmp_path / "ck_async") + ".args.json")
+    with open(str(tmp_path / "ck_async") + ".args.json") as f:
+        assert json.load(f)["model"] == "m"
