@@ -45,8 +45,11 @@ def main():
     # validated/timed is the sharded dispatch program, not backbone FLOPs.
     # EP_BENCH_MODE: 'capacity' (graded default — GSPMD all_to_all),
     # 'capacity_fused' (shard_map + psum), 'capacity_fused_a2a' (shard_map +
-    # a2a row exchange). Manual runs of the non-default modes feed PARITY's
-    # EP comparison table; the graded cfg5 line stays on the default.
+    # a2a row exchange). The fused modes run the Pallas kernel in INTERPRET
+    # mode on CPU (measured r4: ~18 s/step — interpret overhead, not a
+    # program property), so their CPU numbers are NOT comparable to the
+    # graded line; the knob exists for real multi-chip TPU use. The graded
+    # cfg5 line stays on the default.
     mode = os.environ.get("EP_BENCH_MODE", "capacity")
     model = create_model("moe_tiny_patch16_224_expert8", num_classes=1000,
                          img_size=img, num_experts=32, capacity_factor=2.0,

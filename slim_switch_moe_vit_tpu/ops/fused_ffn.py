@@ -364,6 +364,260 @@ def fused_expert_ffn(xs, w1, b1, w2, b2, e_of_tile, dy_scale=None,
                                  dy_scale)
 
 
+# ---------------------------------------------------------------------------
+# gather-in-kernel variant (VERDICT r3 #3c): the dispatch row gather rides the
+# kernel's own DMA instead of a separate XLA gather op
+# ---------------------------------------------------------------------------
+#
+# The standalone dispatch gathers run at ~60% of HBM peak and cost ~10.5
+# ms/step at the flagship shape (r3 trace); every standalone alternative
+# (split gathers, Pallas row gather/scatter, per-row DMA *kernels*) measured
+# equal or slower because the random 768 B row reads are latency-bound. Here
+# the same per-row DMAs are issued INSIDE the FFN kernel, double-buffered one
+# row tile ahead, so their latency hides under the tile's GEMMs (the kernel
+# runs ~80% MXU). xs is never materialized in HBM: the forward saves its
+# write (~2.3 ms) and read, the backward re-gathers (same read the
+# materialized xs would cost). Risk: 256 DMA issues/tile from the scalar
+# core; measure on silicon before switching production (SSMV_GATHER_IN_KERNEL
+# stays opt-in until then).
+
+
+def _gather_tile_dma(x_hbm, g_ref, xbuf, sems, tile_idx, slot):
+    """Issue (start=True) or retire (start=False) the TILE_ROWS row copies
+    of layout tile ``tile_idx`` into ``xbuf[slot]``."""
+
+    def op(start):
+        def body(r, _):
+            src = g_ref[tile_idx * TILE_ROWS + r]
+            dma = pltpu.make_async_copy(
+                x_hbm.at[src], xbuf.at[slot, r], sems.at[slot])
+            if start:
+                dma.start()
+            else:
+                dma.wait()
+            return _
+
+        jax.lax.fori_loop(0, TILE_ROWS, body, None, unroll=8)
+
+    return op
+
+
+def _fwd_gather_kernel(e_ref, g_ref, x_hbm, w1_ref, b1_ref, w2_ref, b2_ref,
+                       y_ref, xbuf, sems, *, gelu, n_tiles):
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _():  # prologue: this tile's rows were not prefetched by anyone
+        _gather_tile_dma(x_hbm, g_ref, xbuf, sems, 0, 0)(start=True)
+
+    @pl.when(i + 1 < n_tiles)
+    def _():  # prefetch the next tile's rows while this tile computes
+        _gather_tile_dma(x_hbm, g_ref, xbuf, sems, i + 1, (i + 1) % 2)(
+            start=True)
+
+    _gather_tile_dma(x_hbm, g_ref, xbuf, sems, i, i % 2)(start=False)
+    x = xbuf[i % 2]
+    h = jnp.dot(x, w1_ref[0], preferred_element_type=jnp.float32)
+    h = h + b1_ref[0, 0].astype(jnp.float32)
+    g = gelu(h).astype(x.dtype)
+    y = jnp.dot(g, w2_ref[0], preferred_element_type=jnp.float32)
+    y = y + b2_ref[0, 0].astype(jnp.float32)
+    y_ref[:] = y.astype(y_ref.dtype)
+
+
+def _fwd_gather(x, gather_idx, w1, b1, w2, b2, e_of_tile):
+    T, D = x.shape
+    E, _, H = w1.shape
+    Tp = gather_idx.shape[0]
+    n_tiles = Tp // TILE_ROWS
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,  # e_of_tile, gather_idx
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),  # x stays in HBM
+            pl.BlockSpec((1, D, H), lambda i, e, g: (e[i], 0, 0)),
+            pl.BlockSpec((1, 1, H), lambda i, e, g: (e[i], 0, 0)),
+            pl.BlockSpec((1, H, D), lambda i, e, g: (e[i], 0, 0)),
+            pl.BlockSpec((1, 1, D), lambda i, e, g: (e[i], 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((TILE_ROWS, D), lambda i, e, g: (i, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((2, TILE_ROWS, D), x.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    return pl.pallas_call(
+        functools.partial(_fwd_gather_kernel, gelu=_gelu_fns(x.dtype)[0],
+                          n_tiles=n_tiles),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((Tp, D), x.dtype),
+        interpret=_interpret(),
+    )(e_of_tile, gather_idx, x, w1, b1[:, None], w2, b2[:, None])
+
+
+def _bwd_gather_kernel(e_ref, g_ref, dy_ref, x_hbm, w1_ref, b1_ref, w2_ref,
+                       ws_ref, dxp_ref, dw1_ref, db1_ref, dw2_ref, db2_ref,
+                       xbuf, sems, *, gelu_pair, has_scale, n_tiles):
+    hh = pl.program_id(0)
+    i = pl.program_id(1)
+    s = hh * n_tiles + i  # linear step in the (2, n_tiles) row-major grid
+
+    @pl.when(s == 0)
+    def _():
+        _gather_tile_dma(x_hbm, g_ref, xbuf, sems, 0, 0)(start=True)
+
+    @pl.when(s + 1 < 2 * n_tiles)
+    def _():  # the next step's tile is (s+1) % n_tiles (hh wraps, i resets)
+        _gather_tile_dma(x_hbm, g_ref, xbuf, sems,
+                         (s + 1) % n_tiles, (s + 1) % 2)(start=True)
+
+    _gather_tile_dma(x_hbm, g_ref, xbuf, sems, i, s % 2)(start=False)
+    x = xbuf[s % 2]
+
+    first = jnp.logical_or(i == 0, e_ref[i] != e_ref[jnp.maximum(i - 1, 0)])
+    dy = dy_ref[:]
+    if has_scale:
+        dy = dy * ws_ref[:].astype(dy.dtype)
+    h = jnp.dot(x, w1_ref[0], preferred_element_type=jnp.float32)
+    h = h + b1_ref[0, 0].astype(jnp.float32)
+    g32, dg = gelu_pair(h)
+    dyh = jax.lax.dot_general(
+        dy, w2_ref[0], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    dh = dyh * dg
+    dhb = dh.astype(x.dtype)
+    dxp = jax.lax.dot_general(
+        dhb, w1_ref[0], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    dxp_ref[0] = dxp.astype(dxp_ref.dtype)
+    dw1 = jax.lax.dot_general(
+        x, dhb, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)[None]
+    db1 = jnp.sum(dh, axis=0)[None, None]
+    g = g32.astype(x.dtype)
+    dw2 = jax.lax.dot_general(
+        g, dy, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)[None]
+    db2 = jnp.sum(dy.astype(jnp.float32), axis=0)[None, None, None]
+    _accumulate(first, [(dw1_ref, dw1), (db1_ref, db1), (dw2_ref, dw2),
+                        (db2_ref, db2)])
+
+
+def _bwd_gather(dy, x, gather_idx, w1, b1, w2, e_of_tile, dy_scale=None):
+    T, D = x.shape
+    E, _, H = w1.shape
+    H2 = H // 2
+    Tp = gather_idx.shape[0]
+    n_tiles = Tp // TILE_ROWS
+    has_scale = dy_scale is not None
+    ws2d = (dy_scale.astype(jnp.float32)[:, None] if has_scale
+            else jnp.zeros((8, 1), jnp.float32))
+    ws_spec = (pl.BlockSpec((TILE_ROWS, 1), lambda hh, i, e, g: (i, 0))
+               if has_scale
+               else pl.BlockSpec((8, 1), lambda hh, i, e, g: (0, 0)))
+    row_d = pl.BlockSpec((1, TILE_ROWS, D), lambda hh, i, e, g: (hh, i, 0))
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(2, n_tiles),
+        in_specs=[
+            pl.BlockSpec((TILE_ROWS, D), lambda hh, i, e, g: (i, 0)),
+            pl.BlockSpec(memory_space=pl.ANY),  # x stays in HBM
+            pl.BlockSpec((1, D, H2), lambda hh, i, e, g: (e[i], 0, hh)),
+            pl.BlockSpec((1, 1, H2), lambda hh, i, e, g: (e[i], 0, hh)),
+            pl.BlockSpec((1, H2, D), lambda hh, i, e, g: (e[i], hh, 0)),
+            ws_spec,
+        ],
+        out_specs=[
+            row_d,
+            pl.BlockSpec((1, D, H2), lambda hh, i, e, g: (e[i], 0, hh)),
+            pl.BlockSpec((1, 1, H2), lambda hh, i, e, g: (e[i], 0, hh)),
+            pl.BlockSpec((1, H2, D), lambda hh, i, e, g: (e[i], hh, 0)),
+            pl.BlockSpec((1, 1, 1, D), lambda hh, i, e, g: (hh, e[i], 0, 0)),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((2, TILE_ROWS, D), x.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    dxp, dw1, db1, dw2, db2 = pl.pallas_call(
+        functools.partial(_bwd_gather_kernel,
+                          gelu_pair=_gelu_pair_fn(x.dtype),
+                          has_scale=has_scale, n_tiles=n_tiles),
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((2, Tp, D), x.dtype),
+            jax.ShapeDtypeStruct((E, D, H), jnp.float32),
+            jax.ShapeDtypeStruct((E, 1, H), jnp.float32),
+            jax.ShapeDtypeStruct((E, H, D), jnp.float32),
+            jax.ShapeDtypeStruct((2, E, 1, D), jnp.float32),
+        ],
+        interpret=_interpret(),
+    )(e_of_tile, gather_idx, dy, x, w1, b1[:, None], w2, ws2d)
+    dx_slots = dxp[0] + dxp[1]
+    return dx_slots, dw1, db1[:, 0], dw2, db2[0, :, 0]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=())
+def _fused_expert_ffn_gather_vjp(x, gather_idx, pair_slot, keep, w1, b1, w2,
+                                 b2, e_of_tile, dy_scale):
+    return _fwd_gather(x, gather_idx, w1, b1, w2, b2, e_of_tile)
+
+
+def fused_expert_ffn_gather(x, gather_idx, pair_slot, keep, w1, b1, w2, b2,
+                            e_of_tile, dy_scale=None):
+    """fc2(GELU(fc1(x[gather_idx]))) with the dispatch gather fused into the
+    kernel's x load — replaces the ``_dispatch_gather`` + ``fused_expert_ffn``
+    pair (xs is never materialized).
+
+    Args:
+        x: (T, D) tokens (NOT expanded).
+        gather_idx: (Tp,) int32 source token of each padded layout slot.
+        pair_slot: (T, k) int32 slot of each (token, choice) pair — used by
+            the VJP to return dx in token space with k row gathers.
+        keep: (T, k) bool or None — capacity mask for the dx gathers.
+        Everything else as ``fused_expert_ffn``.
+    Returns:
+        (Tp, D) expanded outputs, same contract as fused_expert_ffn(xs, ...).
+    """
+    if dy_scale is not None:
+        dy_scale = jax.lax.stop_gradient(dy_scale)
+    return _fused_expert_ffn_gather_vjp(x, gather_idx, pair_slot, keep, w1,
+                                        b1, w2, b2, e_of_tile, dy_scale)
+
+
+def _ffn_gather_fwd(x, gather_idx, pair_slot, keep, w1, b1, w2, b2, e_of_tile,
+                    dy_scale):
+    y = _fwd_gather(x, gather_idx, w1, b1, w2, b2, e_of_tile)
+    return y, (x, gather_idx, pair_slot, keep, w1, b1, w2, e_of_tile,
+               dy_scale)
+
+
+def _ffn_gather_bwd(res, dy):
+    x, gather_idx, pair_slot, keep, w1, b1, w2, e_of_tile, dy_scale = res
+    dy = dy.astype(x.dtype)
+    dx_slots, dw1, db1, dw2, db2 = _bwd_gather(
+        dy, x, gather_idx, w1, b1, w2, e_of_tile, dy_scale=dy_scale)
+    # token-space dx: each token owns exactly its k slots; padding slots
+    # carry zero cotangents by construction (combine weight 0)
+    dx = None
+    for kk in range(pair_slot.shape[1]):
+        gk = jnp.take(dx_slots, pair_slot[:, kk], axis=0)
+        if keep is not None:
+            gk = gk * keep[:, kk:kk + 1].astype(gk.dtype)
+        dx = gk if dx is None else dx + gk
+    de = np.zeros(e_of_tile.shape, dtype=jax.dtypes.float0)
+    dg = np.zeros(gather_idx.shape, dtype=jax.dtypes.float0)
+    dp = np.zeros(pair_slot.shape, dtype=jax.dtypes.float0)
+    dk = None if keep is None else np.zeros(keep.shape,
+                                            dtype=jax.dtypes.float0)
+    ds = None if dy_scale is None else jnp.zeros_like(dy_scale)
+    return (dx, dg, dp, dk, dw1.astype(w1.dtype), db1.astype(b1.dtype),
+            dw2.astype(w2.dtype), db2.astype(b1.dtype), de, ds)
+
+
+_fused_expert_ffn_gather_vjp.defvjp(_ffn_gather_fwd, _ffn_gather_bwd)
+
+
 def _ffn_fwd(layout_rows, xs, w1, b1, w2, b2, e_of_tile, dy_scale):
     y = _fwd(xs, w1, b1, w2, b2, e_of_tile)
     return y, (xs, w1, b1, w2, e_of_tile, dy_scale)

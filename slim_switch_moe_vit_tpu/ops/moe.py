@@ -28,6 +28,7 @@ token; it is O(E) more compute and exists for golden-value tests only.
 """
 from __future__ import annotations
 
+import os
 import typing as typ
 from functools import partial
 
@@ -36,6 +37,13 @@ import jax.numpy as jnp
 import numpy as np
 
 from .fused_ffn import gelu_fast
+
+
+def _gather_in_kernel() -> bool:
+    """Opt-in (SSMV_GATHER_IN_KERNEL=1): fold the dispatch row gather into
+    the fused FFN kernel's x load (fused_ffn.fused_expert_ffn_gather).
+    Env-read at trace time so bench.py can flip it without plumbing."""
+    return os.environ.get("SSMV_GATHER_IN_KERNEL", "0") == "1"
 
 
 def naive_topk_gate(logits: jnp.ndarray, top_k: int):
@@ -529,15 +537,25 @@ def moe_forward_fused(x: jnp.ndarray, router_w, router_b, w1, b1, w2, b2, *,
     gather_idx, pair_slot, e_of_tile, w_slot, keep = aligned_expert_layout(
         expert_idx, E, gate_w=gate_w, weight_dtype=x.dtype,
         capacity=capacity)
-    if capacity is None:
-        xs = _dispatch_gather(x, gather_idx, pair_slot)
-        gate_eff = gate_w
+    gate_eff = (gate_w if capacity is None
+                else gate_w * keep.astype(gate_w.dtype))
+    if _gather_in_kernel():
+        # SSMV_GATHER_IN_KERNEL=1: the dispatch gather rides the FFN
+        # kernel's DMA (xs never materialized) — see fused_expert_ffn_gather
+        from .fused_ffn import fused_expert_ffn_gather
+
+        out = fused_expert_ffn_gather(
+            x, gather_idx, pair_slot, None if capacity is None else keep,
+            w1.astype(x.dtype), b1.astype(jnp.float32),
+            w2.astype(x.dtype), b2.astype(jnp.float32), e_of_tile)
     else:
-        xs = _dispatch_gather(x, gather_idx, pair_slot, keep)
-        gate_eff = gate_w * keep.astype(gate_w.dtype)
-    out = fused_expert_ffn(xs, w1.astype(x.dtype), b1.astype(jnp.float32),
-                           w2.astype(x.dtype), b2.astype(jnp.float32),
-                           e_of_tile)
+        if capacity is None:
+            xs = _dispatch_gather(x, gather_idx, pair_slot)
+        else:
+            xs = _dispatch_gather(x, gather_idx, pair_slot, keep)
+        out = fused_expert_ffn(xs, w1.astype(x.dtype),
+                               b1.astype(jnp.float32), w2.astype(x.dtype),
+                               b2.astype(jnp.float32), e_of_tile)
     y = _combine_slots(out, pair_slot, gate_eff, gather_idx, w_slot)
     aux = {
         "balance_loss": load_balance_loss(logits, expert_idx, E),

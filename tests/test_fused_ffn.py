@@ -102,3 +102,78 @@ def test_moe_mlp_fused_mode_in_model():
         variables, x)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                atol=3e-5, rtol=1e-4)
+
+
+# ---------------------------------------------------------------------------
+# gather-in-kernel variant (r4): the dispatch gather rides the kernel DMA
+# ---------------------------------------------------------------------------
+
+def _layout_for(x, router_w, router_b, E, k, capacity=None):
+    logits = jnp.dot(x.astype(jnp.float32), router_w) + router_b
+    gate_w, eidx = moe_ops.naive_topk_gate(logits, k)
+    gather_idx, pair_slot, e_of_tile, w_slot, keep = \
+        moe_ops.aligned_expert_layout(eidx, E, gate_w=gate_w,
+                                      weight_dtype=x.dtype, capacity=capacity)
+    return gate_w, gather_idx, pair_slot, e_of_tile, w_slot, keep
+
+
+@pytest.mark.parametrize("capacity", [None, 13])
+def test_gather_in_kernel_matches_materialized(capacity):
+    from slim_switch_moe_vit_tpu.ops.fused_ffn import (
+        fused_expert_ffn, fused_expert_ffn_gather,
+    )
+
+    rs = np.random.RandomState(3)
+    T, d, h, E, k = 160, 32, 64, 4, 2
+    router_w, router_b, w1, b1, w2, b2 = _params(rs, E, d, h)
+    x = jnp.asarray(rs.randn(T, d), jnp.float32)
+    gate_w, gather_idx, pair_slot, e_of_tile, w_slot, keep = _layout_for(
+        x, router_w, router_b, E, k, capacity=capacity)
+    kp = None if capacity is None else keep
+
+    def loss_ref(x, w1, b1, w2, b2):
+        xs = moe_ops._dispatch_gather(x, gather_idx, pair_slot, kp)
+        out = fused_expert_ffn(xs, w1, b1, w2, b2, e_of_tile)
+        return jnp.sum(out * jnp.sin(jnp.arange(out.size).reshape(out.shape))), out
+
+    def loss_g(x, w1, b1, w2, b2):
+        out = fused_expert_ffn_gather(x, gather_idx, pair_slot, kp,
+                                      w1, b1, w2, b2, e_of_tile)
+        return jnp.sum(out * jnp.sin(jnp.arange(out.size).reshape(out.shape))), out
+
+    (lr, yr), gr = jax.value_and_grad(loss_ref, argnums=(0, 1, 2, 3, 4),
+                                      has_aux=True)(x, w1, b1, w2, b2)
+    (lg, yg), gg = jax.value_and_grad(loss_g, argnums=(0, 1, 2, 3, 4),
+                                      has_aux=True)(x, w1, b1, w2, b2)
+    # fwd is the identical compute chain on identically-gathered rows; the
+    # only difference in live slots is the DMA path, so exact equality —
+    # except padding slots, which the gather variant leaves as stale buffer
+    # contents (they are never read: combine weight 0). Compare live slots.
+    live = np.zeros(yr.shape[0], bool)
+    live[np.asarray(pair_slot).ravel()] = True
+    if capacity is not None:
+        live[-1] = False  # dropped pairs all point at the final padding slot
+    np.testing.assert_array_equal(np.asarray(yg)[live], np.asarray(yr)[live])
+    for a, b, name in zip(gg, gr, ["dx", "dw1", "db1", "dw2", "db2"]):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=3e-5, rtol=1e-4, err_msg=name)
+
+
+def test_gather_in_kernel_env_knob_end_to_end(monkeypatch):
+    rs = np.random.RandomState(4)
+    T, d, h, E, k = 96, 32, 64, 4, 2
+    router_w, router_b, w1, b1, w2, b2 = _params(rs, E, d, h)
+    x = jnp.asarray(rs.randn(T, d), jnp.float32)
+
+    def loss(x, w1):
+        y, _ = moe_ops.moe_forward_fused(x, router_w, router_b,
+                                         w1, b1, w2, b2, top_k=k)
+        return jnp.sum(y * y)
+
+    l_ref, g_ref = jax.value_and_grad(loss, argnums=(0, 1))(x, w1)
+    monkeypatch.setenv("SSMV_GATHER_IN_KERNEL", "1")
+    l_g, g_g = jax.value_and_grad(loss, argnums=(0, 1))(x, w1)
+    np.testing.assert_allclose(float(l_g), float(l_ref), rtol=1e-6)
+    for a, b in zip(g_g, g_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=3e-5, rtol=1e-4)
