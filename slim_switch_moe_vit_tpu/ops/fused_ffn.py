@@ -355,11 +355,25 @@ def fused_expert_ffn(xs, w1, b1, w2, b2, e_of_tile, dy_scale=None,
         layout_rows: the alignment the caller's layout actually guarantees
             (static). When >= LAYOUT_ROWS the backward runs LAYOUT_ROWS-row
             tiles — measured 2.307 -> 2.02 ms/block at the flagship shape.
+            When the claim is only TILE_ROWS but ``e_of_tile`` is a
+            trace-time constant whose adjacent tiles pair up (capacity
+            dispatch: equal static per-expert regions with an even tile
+            count, e.g. the flagship's 50 tiles/expert), the LAYOUT_ROWS
+            backward is enabled automatically — the bigger-tile
+            dw-accumulate win WITHOUT the +4.4% layout padding that made a
+            512-row *layout* a net zero end-to-end. Checked here, before
+            the custom_vjp boundary (residuals are tracers in backward).
     Returns:
         (Tp, D) in xs.dtype.
     """
     if dy_scale is not None:
         dy_scale = jax.lax.stop_gradient(dy_scale)
+    if (layout_rows % LAYOUT_ROWS != 0
+            and xs.shape[0] % LAYOUT_ROWS == 0
+            and not isinstance(e_of_tile, jax.core.Tracer)):
+        gv = np.asarray(e_of_tile).reshape(-1, LAYOUT_ROWS // TILE_ROWS)
+        if bool((gv == gv[:, :1]).all()):
+            layout_rows = LAYOUT_ROWS
     return _fused_expert_ffn_vjp(layout_rows, xs, w1, b1, w2, b2, e_of_tile,
                                  dy_scale)
 

@@ -177,3 +177,55 @@ def test_gather_in_kernel_env_knob_end_to_end(monkeypatch):
     for a, b in zip(g_g, g_ref):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    atol=3e-5, rtol=1e-4)
+
+
+def test_paired_backward_auto_enables_and_matches(monkeypatch):
+    """Capacity layouts whose expert regions pair up (even tile count) get
+    the LAYOUT_ROWS backward automatically — grads must match the TILE_ROWS
+    backward exactly (same math, bigger row blocks)."""
+    from slim_switch_moe_vit_tpu.ops import fused_ffn
+    from slim_switch_moe_vit_tpu.ops.fused_ffn import (
+        TILE_ROWS, fused_expert_ffn,
+    )
+
+    rs = np.random.RandomState(5)
+    T, d, h, E, k = 400, 32, 64, 2, 2
+    router_w, router_b, w1, b1, w2, b2 = _params(rs, E, d, h)
+    x = jnp.asarray(rs.randn(T, d), jnp.float32)
+    capacity = 300  # Cp = roundup(301, 256) = 512 = 2 tiles/expert -> pairs
+    logits = jnp.dot(x, router_w) + router_b
+    gate_w, eidx = moe_ops.naive_topk_gate(logits, k)
+    gather_idx, pair_slot, e_of_tile, w_slot, keep = \
+        moe_ops.aligned_expert_layout(eidx, E, gate_w=gate_w,
+                                      weight_dtype=x.dtype, capacity=capacity)
+    assert gather_idx.shape[0] % fused_ffn.LAYOUT_ROWS == 0
+    assert not isinstance(e_of_tile, jax.core.Tracer)
+    xs = moe_ops._dispatch_gather(x, gather_idx, pair_slot, keep)
+
+    seen_tiles = []
+    real_bwd = fused_ffn._bwd
+
+    def spy_bwd(dy, xs, w1, b1, w2, e_of_tile, dy_scale=None,
+                tile=TILE_ROWS, force=None):
+        seen_tiles.append(tile)
+        return real_bwd(dy, xs, w1, b1, w2, e_of_tile, dy_scale=dy_scale,
+                        tile=force or tile)
+
+    monkeypatch.setattr(fused_ffn, "_bwd", spy_bwd)
+
+    def loss(xs, w1, b1, w2, b2):
+        out = fused_expert_ffn(xs, w1, b1, w2, b2, e_of_tile)
+        return jnp.sum(out * jnp.sin(jnp.arange(out.size).reshape(out.shape)))
+
+    g_paired = jax.grad(loss, argnums=(0, 1, 2, 3, 4))(xs, w1, b1, w2, b2)
+    assert seen_tiles == [fused_ffn.LAYOUT_ROWS]
+
+    # baseline: same call, backward forced onto TILE_ROWS row blocks
+    monkeypatch.setattr(
+        fused_ffn, "_bwd",
+        lambda *a, **kw: spy_bwd(*a, **{**kw, "force": TILE_ROWS}))
+    g_base = jax.grad(loss, argnums=(0, 1, 2, 3, 4))(xs, w1, b1, w2, b2)
+    for a, b, name in zip(g_paired, g_base, ["dx", "dw1", "db1", "dw2",
+                                             "db2"]):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=3e-5, rtol=1e-4, err_msg=name)
