@@ -1,0 +1,53 @@
+#!/usr/bin/env bash
+# TPU-window playbook (round 4): the axon tunnel has been down for 21+ h, so
+# every hardware-gated item is queued here in value-per-minute order. Run
+# this the moment /tmp/tpu_health.log flips to UP — each step is bounded,
+# logged under $LOG, and skipped if its done-marker exists (resumable after
+# a mid-window tunnel death). One TPU process at a time (the tunnel
+# serializes; memory/axon-tpu-workflow.md).
+#
+# Usage: scripts/tpu_window.sh [LOG_DIR]
+set -uo pipefail
+cd "$(dirname "$0")/.."
+LOG="${1:-/tmp/tpu_window_r4}"
+mkdir -p "$LOG"
+
+step() {  # step NAME TIMEOUT_S CMD...
+  local name="$1" t="$2"; shift 2
+  if [[ -f "$LOG/$name.done" ]]; then echo "== $name: already done"; return 0; fi
+  echo "== $name (timeout ${t}s) $(date +%H:%M:%S)"
+  if timeout "$t" "$@" > "$LOG/$name.log" 2>&1; then
+    touch "$LOG/$name.done"; echo "   ok"; return 0
+  else
+    echo "   FAILED rc=$? — see $LOG/$name.log (tail):"; tail -3 "$LOG/$name.log"
+    return 1
+  fi
+}
+
+# 1. sanity: tiny fetch — abort the whole window if the tunnel is not real
+step sanity 120 python -c "
+import jax, jax.numpy as jnp
+print(jax.devices()); print(float(jnp.ones((8,8)).sum()))" || exit 1
+
+# 2. the graded scoreboard: all five BENCH lines (has its own probe +
+#    per-config timeouts; r3's artifact was empty — recapture FIRST)
+step bench_all 3600 python bench.py
+
+# 3. flagship experiments (VERDICT #3): one knob at a time, cfg2 only
+step fused_opt 1500 env BENCH_FUSED_OPT=1 python bench.py --cfg cfg2
+step gather_in_kernel 1500 env SSMV_GATHER_IN_KERNEL=1 python bench.py --cfg cfg2
+
+# 4. serving on silicon (r3-late addition, zero hardware validation):
+#    export deit_tiny -> load -> predict -> batch-1 latency + b256 throughput
+step serving 1500 python scripts/bench_serving.py
+
+# 5. cfg1 LN-operand layout experiments (VERDICT #4)
+step ln_layout 1500 python scripts/bench_ln_layout_r4.py
+
+# 6. fresh per-op trace with the paired FFN backward live
+step profile 1200 python scripts/profile_flagship.py
+
+# 7. flagship-scale SYNTH learning curve (VERDICT #7) — longest, last
+step synth_flagship 5400 bash scripts/train_synth_flagship.sh 20 /tmp/synth_flagship
+
+echo "== window complete $(date +%H:%M:%S); logs in $LOG"
