@@ -40,6 +40,10 @@ class DynamicBatcher:
         self._max_wait = max_wait_ms / 1000.0
         self._q: "queue.Queue" = queue.Queue()
         self._closed = False
+        # serializes the closed-check+enqueue against close(): without it a
+        # predict() that passed the check could enqueue after close()'s
+        # drain and block forever on done.wait()
+        self._close_lock = threading.Lock()
         img = int(predictor.manifest.get("img_size", 0))
         self._want_shape = (img, img, 3) if img else None
         self._worker = threading.Thread(target=self._run, daemon=True)
@@ -63,15 +67,19 @@ class DynamicBatcher:
                 f"artifact's (n, {', '.join(map(str, self._want_shape))})")
         done = threading.Event()
         slot: dict = {}
-        self._q.put((images, slot, done))
+        with self._close_lock:
+            if self._closed:
+                raise RuntimeError("DynamicBatcher is closed")
+            self._q.put((images, slot, done))
         done.wait()
         if "error" in slot:
             raise slot["error"]
         return slot["result"]
 
     def close(self):
-        self._closed = True  # new predict() calls fail fast, never hang
-        self._q.put(self._STOP)
+        with self._close_lock:
+            self._closed = True  # new predict() calls fail fast, never hang
+            self._q.put(self._STOP)
         self._worker.join(timeout=10)
         # Drain anything that raced past the closed-check and landed behind
         # _STOP — without this, that caller's done.wait() blocks forever.
