@@ -396,13 +396,14 @@ def fused_expert_ffn(xs, w1, b1, w2, b2, e_of_tile, dy_scale=None,
 # stays opt-in until then).
 
 
-def _gather_tile_dma(x_hbm, g_ref, xbuf, sems, tile_idx, slot):
-    """Issue (start=True) or retire (start=False) the TILE_ROWS row copies
+def _gather_tile_dma(x_hbm, g_ref, xbuf, sems, tile_idx, slot,
+                     tile=TILE_ROWS):
+    """Issue (start=True) or retire (start=False) the ``tile`` row copies
     of layout tile ``tile_idx`` into ``xbuf[slot]``."""
 
     def op(start):
         def body(r, _):
-            src = g_ref[tile_idx * TILE_ROWS + r]
+            src = g_ref[tile_idx * tile + r]
             dma = pltpu.make_async_copy(
                 x_hbm.at[src], xbuf.at[slot, r], sems.at[slot])
             if start:
@@ -411,7 +412,7 @@ def _gather_tile_dma(x_hbm, g_ref, xbuf, sems, tile_idx, slot):
                 dma.wait()
             return _
 
-        jax.lax.fori_loop(0, TILE_ROWS, body, None, unroll=8)
+        jax.lax.fori_loop(0, tile, body, None, unroll=8)
 
     return op
 
@@ -471,21 +472,21 @@ def _fwd_gather(x, gather_idx, w1, b1, w2, b2, e_of_tile):
 
 def _bwd_gather_kernel(e_ref, g_ref, dy_ref, x_hbm, w1_ref, b1_ref, w2_ref,
                        ws_ref, dxp_ref, dw1_ref, db1_ref, dw2_ref, db2_ref,
-                       xbuf, sems, *, gelu_pair, has_scale, n_tiles):
+                       xbuf, sems, *, gelu_pair, has_scale, n_tiles, tile):
     hh = pl.program_id(0)
     i = pl.program_id(1)
     s = hh * n_tiles + i  # linear step in the (2, n_tiles) row-major grid
 
     @pl.when(s == 0)
     def _():
-        _gather_tile_dma(x_hbm, g_ref, xbuf, sems, 0, 0)(start=True)
+        _gather_tile_dma(x_hbm, g_ref, xbuf, sems, 0, 0, tile)(start=True)
 
     @pl.when(s + 1 < 2 * n_tiles)
     def _():  # the next step's tile is (s+1) % n_tiles (hh wraps, i resets)
         _gather_tile_dma(x_hbm, g_ref, xbuf, sems,
-                         (s + 1) % n_tiles, (s + 1) % 2)(start=True)
+                         (s + 1) % n_tiles, (s + 1) % 2, tile)(start=True)
 
-    _gather_tile_dma(x_hbm, g_ref, xbuf, sems, i, s % 2)(start=False)
+    _gather_tile_dma(x_hbm, g_ref, xbuf, sems, i, s % 2, tile)(start=False)
     x = xbuf[s % 2]
 
     first = jnp.logical_or(i == 0, e_ref[i] != e_ref[jnp.maximum(i - 1, 0)])
@@ -517,24 +518,34 @@ def _bwd_gather_kernel(e_ref, g_ref, dy_ref, x_hbm, w1_ref, b1_ref, w2_ref,
                         (db2_ref, db2)])
 
 
-def _bwd_gather(dy, x, gather_idx, w1, b1, w2, e_of_tile, dy_scale=None):
+def _bwd_gather(dy, x, gather_idx, w1, b1, w2, e_of_tile, dy_scale=None,
+                tile=TILE_ROWS):
     T, D = x.shape
     E, _, H = w1.shape
     H2 = H // 2
     Tp = gather_idx.shape[0]
-    n_tiles = Tp // TILE_ROWS
+    n_tiles = Tp // tile
+    if tile != TILE_ROWS:
+        # same caller contract as _bwd: every ``tile`` window spans one expert
+        assert tile % TILE_ROWS == 0 and Tp % tile == 0
+        groups = e_of_tile.reshape(-1, tile // TILE_ROWS)
+        if not isinstance(groups, jax.core.Tracer):
+            gv = np.asarray(groups)
+            assert (gv == gv[:, :1]).all(), (
+                f"tile={tile} but a {tile}-row window spans multiple experts")
+        e_of_tile = groups[:, 0]
     has_scale = dy_scale is not None
     ws2d = (dy_scale.astype(jnp.float32)[:, None] if has_scale
             else jnp.zeros((8, 1), jnp.float32))
-    ws_spec = (pl.BlockSpec((TILE_ROWS, 1), lambda hh, i, e, g: (i, 0))
+    ws_spec = (pl.BlockSpec((tile, 1), lambda hh, i, e, g: (i, 0))
                if has_scale
                else pl.BlockSpec((8, 1), lambda hh, i, e, g: (0, 0)))
-    row_d = pl.BlockSpec((1, TILE_ROWS, D), lambda hh, i, e, g: (hh, i, 0))
+    row_d = pl.BlockSpec((1, tile, D), lambda hh, i, e, g: (hh, i, 0))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(2, n_tiles),
         in_specs=[
-            pl.BlockSpec((TILE_ROWS, D), lambda hh, i, e, g: (i, 0)),
+            pl.BlockSpec((tile, D), lambda hh, i, e, g: (i, 0)),
             pl.BlockSpec(memory_space=pl.ANY),  # x stays in HBM
             pl.BlockSpec((1, D, H2), lambda hh, i, e, g: (e[i], 0, hh)),
             pl.BlockSpec((1, 1, H2), lambda hh, i, e, g: (e[i], 0, hh)),
@@ -549,14 +560,14 @@ def _bwd_gather(dy, x, gather_idx, w1, b1, w2, e_of_tile, dy_scale=None):
             pl.BlockSpec((1, 1, 1, D), lambda hh, i, e, g: (hh, e[i], 0, 0)),
         ],
         scratch_shapes=[
-            pltpu.VMEM((2, TILE_ROWS, D), x.dtype),
+            pltpu.VMEM((2, tile, D), x.dtype),
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
     dxp, dw1, db1, dw2, db2 = pl.pallas_call(
         functools.partial(_bwd_gather_kernel,
                           gelu_pair=_gelu_pair_fn(x.dtype),
-                          has_scale=has_scale, n_tiles=n_tiles),
+                          has_scale=has_scale, n_tiles=n_tiles, tile=tile),
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((2, Tp, D), x.dtype),
@@ -571,9 +582,9 @@ def _bwd_gather(dy, x, gather_idx, w1, b1, w2, e_of_tile, dy_scale=None):
     return dx_slots, dw1, db1[:, 0], dw2, db2[0, :, 0]
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=())
-def _fused_expert_ffn_gather_vjp(x, gather_idx, pair_slot, keep, w1, b1, w2,
-                                 b2, e_of_tile, dy_scale):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _fused_expert_ffn_gather_vjp(bwd_tile, x, gather_idx, pair_slot, keep,
+                                 w1, b1, w2, b2, e_of_tile, dy_scale):
     return _fwd_gather(x, gather_idx, w1, b1, w2, b2, e_of_tile)
 
 
@@ -595,22 +606,32 @@ def fused_expert_ffn_gather(x, gather_idx, pair_slot, keep, w1, b1, w2, b2,
     """
     if dy_scale is not None:
         dy_scale = jax.lax.stop_gradient(dy_scale)
-    return _fused_expert_ffn_gather_vjp(x, gather_idx, pair_slot, keep, w1,
-                                        b1, w2, b2, e_of_tile, dy_scale)
+    # same opportunistic backward tile-pairing as fused_expert_ffn: decided
+    # here (static), because residuals are tracers in the backward
+    bwd_tile = TILE_ROWS
+    if (gather_idx.shape[0] % LAYOUT_ROWS == 0
+            and not isinstance(e_of_tile, jax.core.Tracer)):
+        gv = np.asarray(e_of_tile).reshape(-1, LAYOUT_ROWS // TILE_ROWS)
+        if bool((gv == gv[:, :1]).all()):
+            bwd_tile = LAYOUT_ROWS
+    return _fused_expert_ffn_gather_vjp(bwd_tile, x, gather_idx, pair_slot,
+                                        keep, w1, b1, w2, b2, e_of_tile,
+                                        dy_scale)
 
 
-def _ffn_gather_fwd(x, gather_idx, pair_slot, keep, w1, b1, w2, b2, e_of_tile,
-                    dy_scale):
+def _ffn_gather_fwd(bwd_tile, x, gather_idx, pair_slot, keep, w1, b1, w2, b2,
+                    e_of_tile, dy_scale):
     y = _fwd_gather(x, gather_idx, w1, b1, w2, b2, e_of_tile)
     return y, (x, gather_idx, pair_slot, keep, w1, b1, w2, e_of_tile,
                dy_scale)
 
 
-def _ffn_gather_bwd(res, dy):
+def _ffn_gather_bwd(bwd_tile, res, dy):
     x, gather_idx, pair_slot, keep, w1, b1, w2, e_of_tile, dy_scale = res
     dy = dy.astype(x.dtype)
     dx_slots, dw1, db1, dw2, db2 = _bwd_gather(
-        dy, x, gather_idx, w1, b1, w2, e_of_tile, dy_scale=dy_scale)
+        dy, x, gather_idx, w1, b1, w2, e_of_tile, dy_scale=dy_scale,
+        tile=bwd_tile)
     # token-space dx: each token owns exactly its k slots; padding slots
     # carry zero cotangents by construction (combine weight 0)
     dx = None

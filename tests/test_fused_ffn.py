@@ -117,8 +117,10 @@ def _layout_for(x, router_w, router_b, E, k, capacity=None):
     return gate_w, gather_idx, pair_slot, e_of_tile, w_slot, keep
 
 
-@pytest.mark.parametrize("capacity", [None, 13])
+@pytest.mark.parametrize("capacity", [None, 13, 300])
 def test_gather_in_kernel_matches_materialized(capacity):
+    # capacity=300: Cp = roundup(301, 256) = 512 -> 2 tiles/expert, so BOTH
+    # variants auto-pair their backward onto LAYOUT_ROWS row tiles
     from slim_switch_moe_vit_tpu.ops.fused_ffn import (
         fused_expert_ffn, fused_expert_ffn_gather,
     )
