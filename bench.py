@@ -237,7 +237,10 @@ def _run_one(cfg):
 
 def main():
     if "--cfg" in sys.argv:
-        _run_one(sys.argv[sys.argv.index("--cfg") + 1])
+        i = sys.argv.index("--cfg")
+        if i + 1 >= len(sys.argv):
+            raise SystemExit("--cfg needs a value: cfg1..cfg4")
+        _run_one(sys.argv[i + 1])
         return
 
     run_all = os.environ.get("BENCH_ALL", "1") != "0"

@@ -71,7 +71,7 @@ def main():
         state = create_train_state(model, (1, img, img, 3))
         variables = {"params": state.params}
         variants[name] = lambda c, m=model, v=variables: m.apply(
-            c if False else v, c, deterministic=True)
+            v, c, deterministic=True)
 
     add("base")
     add("xla_ln", ln_impl="xla")

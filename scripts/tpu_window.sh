@@ -30,8 +30,10 @@ import jax, jax.numpy as jnp
 print(jax.devices()); print(float(jnp.ones((8,8)).sum()))" || exit 1
 
 # 2. the graded scoreboard: all five BENCH lines (has its own probe +
-#    per-config timeouts; r3's artifact was empty — recapture FIRST)
-step bench_all 3600 python bench.py
+#    per-config timeouts; r3's artifact was empty — recapture FIRST).
+#    6600s > bench.py's internal worst case (probe 150 + 900+1200+1200+900
+#    + flagship 1500 = 5850) so a slow-but-alive tunnel can't kill cfg2.
+step bench_all 6600 python bench.py
 
 # 3. flagship experiments (VERDICT #3): one knob at a time, cfg2 only
 step fused_opt 1500 env BENCH_FUSED_OPT=1 python bench.py --cfg cfg2

@@ -622,12 +622,13 @@ def fused_expert_ffn_gather(x, gather_idx, pair_slot, keep, w1, b1, w2, b2,
 def _ffn_gather_fwd(bwd_tile, x, gather_idx, pair_slot, keep, w1, b1, w2, b2,
                     e_of_tile, dy_scale):
     y = _fwd_gather(x, gather_idx, w1, b1, w2, b2, e_of_tile)
-    return y, (x, gather_idx, pair_slot, keep, w1, b1, w2, e_of_tile,
+    return y, (x, gather_idx, pair_slot, keep, w1, b1, w2, b2, e_of_tile,
                dy_scale)
 
 
 def _ffn_gather_bwd(bwd_tile, res, dy):
-    x, gather_idx, pair_slot, keep, w1, b1, w2, e_of_tile, dy_scale = res
+    (x, gather_idx, pair_slot, keep, w1, b1, w2, b2, e_of_tile,
+     dy_scale) = res
     dy = dy.astype(x.dtype)
     dx_slots, dw1, db1, dw2, db2 = _bwd_gather(
         dy, x, gather_idx, w1, b1, w2, e_of_tile, dy_scale=dy_scale,
@@ -647,7 +648,7 @@ def _ffn_gather_bwd(bwd_tile, res, dy):
                                             dtype=jax.dtypes.float0)
     ds = None if dy_scale is None else jnp.zeros_like(dy_scale)
     return (dx, dg, dp, dk, dw1.astype(w1.dtype), db1.astype(b1.dtype),
-            dw2.astype(w2.dtype), db2.astype(b1.dtype), de, ds)
+            dw2.astype(w2.dtype), db2.astype(b2.dtype), de, ds)
 
 
 _fused_expert_ffn_gather_vjp.defvjp(_ffn_gather_fwd, _ffn_gather_bwd)
@@ -655,11 +656,11 @@ _fused_expert_ffn_gather_vjp.defvjp(_ffn_gather_fwd, _ffn_gather_bwd)
 
 def _ffn_fwd(layout_rows, xs, w1, b1, w2, b2, e_of_tile, dy_scale):
     y = _fwd(xs, w1, b1, w2, b2, e_of_tile)
-    return y, (xs, w1, b1, w2, e_of_tile, dy_scale)
+    return y, (xs, w1, b1, w2, b2, e_of_tile, dy_scale)
 
 
 def _ffn_bwd(layout_rows, res, dy):
-    xs, w1, b1, w2, e_of_tile, dy_scale = res
+    xs, w1, b1, w2, b2, e_of_tile, dy_scale = res
     dy = dy.astype(xs.dtype)
     bwd_tile = (LAYOUT_ROWS if (layout_rows % LAYOUT_ROWS == 0
                                 and xs.shape[0] % LAYOUT_ROWS == 0)
@@ -670,7 +671,7 @@ def _ffn_bwd(layout_rows, res, dy):
     # zero by contract — the public wrapper stop_gradients dy_scale
     ds = None if dy_scale is None else jnp.zeros_like(dy_scale)
     return (dx, dw1.astype(w1.dtype), db1.astype(b1.dtype),
-            dw2.astype(w2.dtype), db2.astype(b1.dtype), de, ds)
+            dw2.astype(w2.dtype), db2.astype(b2.dtype), de, ds)
 
 
 _fused_expert_ffn_vjp.defvjp(_ffn_fwd, _ffn_bwd)

@@ -308,6 +308,16 @@ def _rank_in_expert(flat_e: jnp.ndarray, num_experts: int, chunk: int = 256):
     return rank, jnp.sum(tot, axis=0)
 
 
+
+def capacity_region_rows(capacity: int, tile: int) -> int:
+    """Rows of each expert's static padded region in a capacity layout:
+    roundup(capacity+1, tile) — the +1 reserves the always-padding final
+    slot dropped pairs point at. The ONE definition shared by
+    aligned_expert_layout and both shard_map EP forms, whose exchange
+    reshapes must match the layout exactly."""
+    return ((capacity + 1 + tile - 1) // tile) * tile
+
+
 def aligned_expert_layout(expert_idx: jnp.ndarray, num_experts: int,
                           tile: int = None, gate_w: jnp.ndarray = None,
                           weight_dtype=jnp.bfloat16,
@@ -350,7 +360,7 @@ def aligned_expert_layout(expert_idx: jnp.ndarray, num_experts: int,
     # gives FastMoE's token-priority semantics, same as a stable sort.
     rank, group_sizes = _rank_in_expert(flat, E)
     if capacity is not None:
-        Cp = ((capacity + 1 + tile - 1) // tile) * tile  # last slot = pad
+        Cp = capacity_region_rows(capacity, tile)  # last slot = pad
         Tp = E * Cp
         n_tiles = Tp // tile
         keep = rank < capacity
@@ -616,7 +626,7 @@ def moe_forward_fused_ep(x: jnp.ndarray, router_w, router_b, w1, b1, w2,
             cap = compute_capacity(T, E, top_k, capacity_factor)
         gather_idx, pair_slot, _, w_slot, keep = aligned_expert_layout(
             expert_idx, E, gate_w=gate_w, weight_dtype=x.dtype, capacity=cap)
-        Cp = ((cap + 1 + TILE_ROWS - 1) // TILE_ROWS) * TILE_ROWS
+        Cp = capacity_region_rows(cap, TILE_ROWS)
         rows = E_local * Cp                 # my experts' static region
         eidx = jax.lax.axis_index(EXPERT_AXIS)
         start = eidx * rows
@@ -723,7 +733,7 @@ def moe_forward_fused_ep_a2a(x: jnp.ndarray, router_w, router_b, w1, b1,
             cap = compute_capacity(Tc, E, top_k, capacity_factor)
         gather_idx, pair_slot, _, w_slot, keep = aligned_expert_layout(
             expert_idx, E, gate_w=gate_w, weight_dtype=x.dtype, capacity=cap)
-        Cp = ((cap + 1 + TILE_ROWS - 1) // TILE_ROWS) * TILE_ROWS
+        Cp = capacity_region_rows(cap, TILE_ROWS)
         # (E*Cp, d), ordered by global expert id -> the rows bound for shard
         # e are the contiguous block [e*E_local*Cp, (e+1)*E_local*Cp)
         xs = _dispatch_gather(xc, gather_idx, pair_slot, keep)

@@ -81,8 +81,9 @@ class DynamicBatcher:
             self._closed = True  # new predict() calls fail fast, never hang
             self._q.put(self._STOP)
         self._worker.join(timeout=10)
-        # Drain anything that raced past the closed-check and landed behind
-        # _STOP — without this, that caller's done.wait() blocks forever.
+        # If the worker is still mid-batch (join timed out — a first-batch
+        # compile can take longer), fail any queued requests now rather than
+        # leave their callers blocked; the lock guarantees nothing new lands.
         while True:
             try:
                 item = self._q.get_nowait()
@@ -93,6 +94,10 @@ class DynamicBatcher:
             _, slot, done = item
             slot["error"] = RuntimeError("DynamicBatcher is closed")
             done.set()
+        if self._worker.is_alive():
+            # the drain may have consumed _STOP before the worker saw it —
+            # re-arm so the worker terminates when its current batch finishes
+            self._q.put(self._STOP)
 
     def _run(self):
         import time
