@@ -75,11 +75,15 @@ def main():
 
     add("base")
     add("xla_ln", ln_impl="xla")
-    # barrier / flat2d need model plumbing — wire via env knobs in
-    # models/vit.py when iterating on-TPU (kept out of the shipped model until
-    # one of them wins; see VERDICT r3 #4).
+    # barrier: SSMV_LN_BARRIER=1 pins the LN pallas operand's layout at the
+    # producer (models/layers.py reads the env at trace time) — probes
+    # whether the {2,1,0}->{2,0,1} copy is assignment-driven or mandatory
+    add("barrier")
+
+    import os
 
     for name, fn in variants.items():
+        os.environ["SSMV_LN_BARRIER"] = "1" if name == "barrier" else "0"
         if args.trace:
             with jax.profiler.trace(f"{args.trace}/{name}"):
                 ms = _measure(fn, x, reps=args.reps)

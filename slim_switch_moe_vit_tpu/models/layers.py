@@ -17,6 +17,7 @@ for linear weights, zeros for biases, LayerNorm ones/zeros
 """
 from __future__ import annotations
 
+import os
 import typing as typ
 
 import jax
@@ -102,6 +103,15 @@ class LayerNorm(nn.Module):
         if self._fused_ok(x):
             from ..ops.fused_ln import fused_add_ln, fused_ln, fused_sum_ln
 
+            if os.environ.get("SSMV_LN_BARRIER", "0") == "1":
+                # layout experiment (VERDICT r3 #4 / scripts/
+                # bench_ln_layout_r4.py): an optimization_barrier pins the
+                # operand's layout choice at the producer, probing whether
+                # XLA's {2,1,0}->{2,0,1} copy before the LN pallas call
+                # (0.79 ms/fwd at cfg1) is assignment-driven or mandatory
+                x = jax.lax.optimization_barrier(x)
+                if residual is not None:
+                    residual = jax.lax.optimization_barrier(residual)
             if residual is None:
                 return fused_ln(x, scale, bias, self.eps)
             if emit_sum:
