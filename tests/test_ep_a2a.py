@@ -9,6 +9,7 @@ transpose, and (d) the model-level route: dispatch_mode='capacity_fused_a2a'
 compiles to an HLO containing a real all-to-all.
 """
 import jax
+import pytest
 import jax.numpy as jnp
 import numpy as np
 
@@ -21,15 +22,15 @@ from slim_switch_moe_vit_tpu.parallel import (
 E, D, H, K = 8, 16, 32, 2
 
 
-def _mk_weights(seed=0):
+def _mk_weights(seed=0, e=E):
     rs = np.random.RandomState(seed)
     return dict(
-        router_w=jnp.asarray(rs.randn(D, E) * 0.5, jnp.float32),
-        router_b=jnp.asarray(rs.randn(E) * 0.1, jnp.float32),
-        w1=jnp.asarray(rs.randn(E, D, H) * 0.1, jnp.float32),
-        b1=jnp.asarray(rs.randn(E, H) * 0.1, jnp.float32),
-        w2=jnp.asarray(rs.randn(E, H, D) * 0.1, jnp.float32),
-        b2=jnp.asarray(rs.randn(E, D) * 0.1, jnp.float32),
+        router_w=jnp.asarray(rs.randn(D, e) * 0.5, jnp.float32),
+        router_b=jnp.asarray(rs.randn(e) * 0.1, jnp.float32),
+        w1=jnp.asarray(rs.randn(e, D, H) * 0.1, jnp.float32),
+        b1=jnp.asarray(rs.randn(e, H) * 0.1, jnp.float32),
+        w2=jnp.asarray(rs.randn(e, H, D) * 0.1, jnp.float32),
+        b2=jnp.asarray(rs.randn(e, D) * 0.1, jnp.float32),
     )
 
 
@@ -148,3 +149,34 @@ def test_model_routes_a2a_under_mesh_and_hlo_has_all_to_all():
         hlo = compiled.as_text()
         assert "all-to-all" in hlo, \
             "a2a EP form compiled without an all-to-all"
+
+
+@pytest.mark.parametrize("dp,ep,e_total,cf", [
+    (4, 2, 8, 0.75),   # wide data axis, E_local=4
+    (1, 8, 8, 0.75),   # whole mesh on the expert axis, E_local=1
+    (2, 4, 4, 0.6),    # E == ep -> one expert per shard
+])
+def test_a2a_chunked_semantics_across_mesh_shapes(dp, ep, e_total, cf):
+    """The dest/src-major exchange reshapes must hold on edge meshes, not
+    just 2x4/E=8: per-(data shard, chunk) capacity reference as above."""
+    w = _mk_weights(11, e=e_total)
+    T = 320
+    x = _tokens(T, seed=13)
+    Tc = T // (dp * ep)
+    cap = moe_ops.compute_capacity(Tc, e_total, K, cf)
+    chunks, drops = [], []
+    for c in range(dp * ep):
+        xc = x[c * Tc:(c + 1) * Tc]
+        yc, auxc = moe_ops.moe_forward_fused(
+            xc, w["router_w"], w["router_b"], w["w1"], w["b1"], w["w2"],
+            w["b2"], top_k=K, capacity=cap)
+        chunks.append(yc)
+        drops.append(float(auxc["drop_fraction"]))
+    y_ref = jnp.concatenate(chunks)
+
+    y, aux = _run_a2a(w, x, make_mesh(n_data=dp, n_expert=ep),
+                      capacity_factor=cf)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref), atol=1e-5)
+    np.testing.assert_allclose(float(aux["drop_fraction"]), np.mean(drops),
+                               atol=1e-6)
+    assert float(aux["drop_fraction"]) > 0.02  # real drops exercised
