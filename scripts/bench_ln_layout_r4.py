@@ -22,11 +22,14 @@ Prints ms/fwd per variant; with --trace, writes a profiler trace per variant
 for utils.profiling.summarize_trace.
 """
 import argparse
+import sys
 import time
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+sys.path.insert(0, "/root/repo")
 
 
 def _measure(fn, x, K=40, reps=5):

@@ -412,7 +412,11 @@ def _gather_tile_dma(x_hbm, g_ref, xbuf, sems, tile_idx, slot,
                 dma.wait()
             return _
 
-        jax.lax.fori_loop(0, tile, body, None, unroll=8)
+        # Mosaic's loop lowering only supports unroll=1 or full unroll
+        # (partial unroll=8 raised NotImplementedError on real TPU, r4);
+        # fully unroll — 256 straight-line DMA starts from the scalar core,
+        # no loop-carry overhead.
+        jax.lax.fori_loop(0, tile, body, None, unroll=tile)
 
     return op
 

@@ -371,7 +371,17 @@ def aligned_expert_layout(expert_idx: jnp.ndarray, num_experts: int,
         Tp = ((TK + tile - 1) // tile) * tile + E * tile  # static
         n_tiles = Tp // tile
         keep = jnp.ones((TK,), bool)
-        padded_sizes = ((group_sizes + tile - 1) // tile) * tile
+        # minimum ONE tile per expert even at zero tokens: the backward
+        # kernel writes each expert's dw window only at tiles it owns
+        # (ops/fused_ffn.py::_bwd out_specs index on e_of_tile), so an
+        # expert absent from e_of_tile would leave its dw output block
+        # UNINITIALIZED on real TPU (interpret mode zero-fills and hid
+        # this). A pure-padding tile costs nothing extra (Tp already
+        # budgets E*tile of alignment slack) and its rows carry zero
+        # combine weight, so the extra tile's dw contribution is exactly
+        # zero — guarded by tests/test_moe_ops.py::test_zero_token_expert.
+        padded_sizes = jnp.maximum(
+            ((group_sizes + tile - 1) // tile) * tile, tile)
         padded_starts = jnp.cumsum(padded_sizes) - padded_sizes
         slot_pair = padded_starts[flat] + rank               # (TK,)
         pair_slot = slot_pair

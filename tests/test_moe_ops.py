@@ -208,3 +208,51 @@ def test_capacity_fused_matches_scatter_capacity(capacity_factor):
     for a, e, nm in zip(g_f, g_ref, ("dx", "dw1", "db2")):
         np.testing.assert_allclose(np.asarray(a), np.asarray(e), atol=5e-5,
                                    err_msg=nm)
+
+
+def test_zero_token_expert():
+    """An expert that receives ZERO tokens must still own >=1 layout tile.
+
+    The fused backward writes each expert's dw output window only at tiles it
+    owns (ops/fused_ffn.py::_bwd out_specs index on e_of_tile) — an expert
+    absent from e_of_tile would leave its dw block UNINITIALIZED on real TPU
+    (interpret mode zero-fills, hiding it). aligned_expert_layout therefore
+    pads every expert to a minimum of one tile; the pure-padding tile carries
+    zero combine weight so the empty expert's gradient is exactly zero.
+    """
+    E = 4
+    # tokens choose only experts 0 and 2 — experts 1 and 3 are empty
+    flat = np.array([0, 2] * 12, dtype=np.int32).reshape(-1, 2)
+    gate_w = jnp.ones(flat.shape, jnp.float32) * 0.5
+    for capacity in (None, 8):
+        gather_idx, pair_slot, e_of_tile, w_slot, keep = (
+            moe_ops.aligned_expert_layout(
+                jnp.asarray(flat), E, tile=8, gate_w=gate_w,
+                weight_dtype=jnp.float32, capacity=capacity))
+        present = set(np.asarray(e_of_tile).tolist())
+        assert present == set(range(E)), (capacity, sorted(present))
+
+    # end-to-end: fused path with a router that starves expert 1 -> its
+    # gradients are exactly zero, all others match the dense oracle
+    p = _params(jax.random.PRNGKey(21))
+    p["router_b"] = p["router_b"].at[1].set(-1e9)
+    x = jax.random.normal(jax.random.PRNGKey(22), (24, 16))
+
+    def loss_fused(w1, w2):
+        y, _ = moe_ops.moe_forward_fused(
+            x, p["router_w"], p["router_b"], w1, p["b1"], w2, p["b2"],
+            top_k=2)
+        return jnp.sum(y ** 2)
+
+    def loss_dense(w1, w2):
+        y = moe_ops.moe_dense(
+            x, p["router_w"], p["router_b"], w1, p["b1"], w2, p["b2"],
+            top_k=2)
+        return jnp.sum(y ** 2)
+
+    g_f = jax.grad(loss_fused, argnums=(0, 1))(p["w1"], p["w2"])
+    g_d = jax.grad(loss_dense, argnums=(0, 1))(p["w1"], p["w2"])
+    for a, e, nm in zip(g_f, g_d, ("dw1", "dw2")):
+        assert float(jnp.abs(jnp.asarray(a)[1]).max()) == 0.0, nm
+        np.testing.assert_allclose(np.asarray(a), np.asarray(e), atol=5e-5,
+                                   err_msg=nm)
