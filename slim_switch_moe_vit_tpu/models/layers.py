@@ -80,13 +80,15 @@ class LayerNorm(nn.Module):
     def _fused_ok(self, x) -> bool:
         if self.impl == "xla" or not (self.use_scale and self.use_bias):
             return False
-        from ..ops.fused_ln import supported
+        from ..ops.fused_ln import profitable, supported
 
         if not supported(x):
             return False
         if self.impl == "fused":
             return True
-        return jax.default_backend() == "tpu"
+        # 'auto': fused only where it measured faster than XLA LN —
+        # lane-aligned channel widths (ops/fused_ln.py::profitable)
+        return jax.default_backend() == "tpu" and profitable(x)
 
     @nn.compact
     def __call__(self, x, residual=None, emit_sum: bool = True):

@@ -30,6 +30,7 @@ consumer), db2 (hidden-independent) is taken from the first pass.
 from __future__ import annotations
 
 import functools
+import os
 import typing as typ
 
 import jax
@@ -252,7 +253,105 @@ def _bwd_kernel(e_ref, dy_ref, x_ref, w1_ref, b1_ref, w2_ref, ws_ref,
                         (db2_ref, db2)])
 
 
-def _bwd(dy, xs, w1, b1, w2, e_of_tile, dy_scale=None, tile=TILE_ROWS):
+def _bwd_flags(e_of_tile, n_tiles):
+    """Per-tile control flags for the deferred-dw backward, packed int32:
+
+    bit 0 (flush):   issue the dw GEMMs this step (2nd tile of a pair, or
+                     the expert's last tile)
+    bit 1 (include): the scratch's first half holds the previous tile of the
+                     SAME expert — flush over both (K = 2*TILE_ROWS)
+    bit 2 (first):   first flush of this expert's group — initialize the dw
+                     window instead of accumulating
+
+    Pure jnp on the (n_tiles,) ``e_of_tile`` (nondecreasing by layout
+    contract), so it works for both concrete (capacity) and traced
+    (dropless) layouts.
+    """
+    e = e_of_tile.astype(jnp.int32)
+    idx = jnp.arange(n_tiles, dtype=jnp.int32)
+    prev = jnp.concatenate([jnp.full((1,), -1, jnp.int32), e[:-1]])
+    group_start = jax.lax.cummax(jnp.where(e != prev, idx, 0))
+    pos = idx - group_start
+    nxt = jnp.concatenate([e[1:], jnp.full((1,), -1, jnp.int32)])
+    odd = (pos % 2) == 1
+    flush = odd | (e != nxt)
+    first = flush & (pos <= 1)
+    return (flush.astype(jnp.int32) | (odd.astype(jnp.int32) << 1)
+            | (first.astype(jnp.int32) << 2))
+
+
+def _bwd_kernel_defer(e_ref, f_ref, dy_ref, x_ref, w1_ref, b1_ref, w2_ref,
+                      ws_ref, dxp_ref, dw1_ref, db1_ref, dw2_ref, db2_ref,
+                      xs_scr, dh_scr, g_scr, dy_scr, *, gelu_pair, has_scale,
+                      tile):
+    """_bwd_kernel variant that defers the dw GEMMs one tile: consecutive
+    same-expert tiles stash x/dh/g/dy in VMEM scratch and flush ONE
+    K=2*tile GEMM pair — the measured dw-accumulate win of LAYOUT_ROWS-row
+    tiles (scripts/bench_ffn_bwd_r3.py) without any layout padding, valid
+    for DYNAMIC e_of_tile (flags are scalar-prefetched, flushes never cross
+    an expert boundary by construction). dx/db stay per-tile."""
+    i = pl.program_id(1)
+    flags = f_ref[i]
+    flush = (flags & 1) != 0
+    include = (flags & 2) != 0
+    first_write = (flags & 4) != 0
+    first = jnp.logical_or(i == 0, e_ref[i] != e_ref[jnp.maximum(i - 1, 0)])
+    x = x_ref[:]
+    dy = dy_ref[:]
+    if has_scale:
+        dy = dy * ws_ref[:].astype(dy.dtype)
+    h = jnp.dot(x, w1_ref[0], preferred_element_type=jnp.float32)
+    h = h + b1_ref[0, 0].astype(jnp.float32)
+    g32, dg = gelu_pair(h)
+    dyh = jax.lax.dot_general(
+        dy, w2_ref[0], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    dh = dyh * dg
+    dhb = dh.astype(x.dtype)
+    dxp = jax.lax.dot_general(
+        dhb, w1_ref[0], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    dxp_ref[0] = dxp.astype(dxp_ref.dtype)
+    db1 = jnp.sum(dh, axis=0)[None, None]
+    db2 = jnp.sum(dy.astype(jnp.float32), axis=0)[None, None, None]
+    _accumulate(first, [(db1_ref, db1), (db2_ref, db2)])
+    g = g32.astype(x.dtype)
+
+    # stash this tile at scratch half pos%2 (== include at flush steps)
+    @pl.when(jnp.logical_not(include))
+    def _():
+        xs_scr[0:tile] = x
+        dh_scr[0:tile] = dhb
+        g_scr[0:tile] = g
+        dy_scr[0:tile] = dy
+
+    @pl.when(include)
+    def _():
+        xs_scr[tile:] = x
+        dh_scr[tile:] = dhb
+        g_scr[tile:] = g
+        dy_scr[tile:] = dy
+
+    # single-tile flush (odd group size / 1-tile group): the second scratch
+    # half holds a stale tile — zero its cotangents so it contributes nothing
+    @pl.when(jnp.logical_and(flush, jnp.logical_not(include)))
+    def _():
+        dh_scr[tile:] = jnp.zeros((tile, dh_scr.shape[1]), dh_scr.dtype)
+        dy_scr[tile:] = jnp.zeros((tile, dy_scr.shape[1]), dy_scr.dtype)
+
+    @pl.when(flush)
+    def _():
+        dw1 = jax.lax.dot_general(  # (2*tile, D)^T @ (2*tile, H2)
+            xs_scr[:], dh_scr[:], (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)[None]
+        dw2 = jax.lax.dot_general(  # (2*tile, H2)^T @ (2*tile, D)
+            g_scr[:], dy_scr[:], (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)[None]
+        _accumulate(first_write, [(dw1_ref, dw1), (dw2_ref, dw2)])
+
+
+def _bwd(dy, xs, w1, b1, w2, e_of_tile, dy_scale=None, tile=TILE_ROWS,
+         defer_dw=False):
     """dx (as 2 half-hidden partials), dw1, db1, dw2, db2 in one pallas_call.
 
     Grid (2, n_tiles): the outer dim picks a hidden half, the inner streams
@@ -263,6 +362,8 @@ def _bwd(dy, xs, w1, b1, w2, e_of_tile, dy_scale=None, tile=TILE_ROWS):
     ``tile``: row-tile size — every group must be ``tile``-aligned; callers
     whose layout is LAYOUT_ROWS-aligned pass LAYOUT_ROWS here (e_of_tile
     stays at TILE_ROWS granularity and is subsampled).
+    ``defer_dw``: pair consecutive same-expert tiles' dw GEMMs through VMEM
+    scratch (see ``_bwd_kernel_defer``); requires tile == TILE_ROWS.
     """
     Tp, D = xs.shape
     E, _, H = w1.shape
@@ -287,40 +388,70 @@ def _bwd(dy, xs, w1, b1, w2, e_of_tile, dy_scale=None, tile=TILE_ROWS):
     # lane-major (1, 1, tile) bf16 block crashes the Mosaic compiler
     ws2d = (dy_scale.astype(jnp.float32)[:, None] if has_scale
             else jnp.zeros((8, 1), jnp.float32))
-    ws_spec = (pl.BlockSpec((tile, 1), lambda hh, i, e: (i, 0))
+    # index maps take trailing *_ so the same specs serve the 1- and
+    # 2-scalar-prefetch (defer_dw) grids
+    ws_spec = (pl.BlockSpec((tile, 1), lambda hh, i, e, *_: (i, 0))
                if has_scale
-               else pl.BlockSpec((8, 1), lambda hh, i, e: (0, 0)))
-    row_d = pl.BlockSpec((1, tile, D), lambda hh, i, e: (hh, i, 0))
+               else pl.BlockSpec((8, 1), lambda hh, i, e, *_: (0, 0)))
+    row_d = pl.BlockSpec((1, tile, D), lambda hh, i, e, *_: (hh, i, 0))
+    in_specs = [
+        pl.BlockSpec((tile, D), lambda hh, i, e, *_: (i, 0)),
+        pl.BlockSpec((tile, D), lambda hh, i, e, *_: (i, 0)),
+        pl.BlockSpec((1, D, H2), lambda hh, i, e, *_: (e[i], 0, hh)),
+        pl.BlockSpec((1, 1, H2), lambda hh, i, e, *_: (e[i], 0, hh)),
+        pl.BlockSpec((1, H2, D), lambda hh, i, e, *_: (e[i], hh, 0)),
+        ws_spec,
+    ]
+    out_specs = [
+        row_d,                                                   # dx part
+        pl.BlockSpec((1, D, H2), lambda hh, i, e, *_: (e[i], 0, hh)),
+        pl.BlockSpec((1, 1, H2), lambda hh, i, e, *_: (e[i], 0, hh)),
+        pl.BlockSpec((1, H2, D), lambda hh, i, e, *_: (e[i], hh, 0)),
+        pl.BlockSpec((1, 1, 1, D), lambda hh, i, e, *_: (hh, e[i], 0, 0)),
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((2, Tp, D), xs.dtype),
+        jax.ShapeDtypeStruct((E, D, H), jnp.float32),
+        jax.ShapeDtypeStruct((E, 1, H), jnp.float32),
+        jax.ShapeDtypeStruct((E, H, D), jnp.float32),
+        jax.ShapeDtypeStruct((2, E, 1, D), jnp.float32),
+    ]
+    if defer_dw:
+        assert tile == TILE_ROWS, "defer_dw pairs TILE_ROWS tiles"
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(2, n_tiles),
+            in_specs=in_specs,
+            out_specs=out_specs,
+            scratch_shapes=[
+                pltpu.VMEM((2 * tile, D), xs.dtype),    # x pair
+                pltpu.VMEM((2 * tile, H2), xs.dtype),   # dh pair
+                pltpu.VMEM((2 * tile, H2), xs.dtype),   # g pair
+                pltpu.VMEM((2 * tile, D), xs.dtype),    # dy pair
+            ],
+        )
+        dxp, dw1, db1, dw2, db2 = pl.pallas_call(
+            functools.partial(_bwd_kernel_defer,
+                              gelu_pair=_gelu_pair_fn(xs.dtype),
+                              has_scale=has_scale, tile=tile),
+            grid_spec=grid_spec,
+            out_shape=out_shape,
+            interpret=_interpret(),
+        )(e_of_tile, _bwd_flags(e_of_tile, n_tiles), dy, xs, w1, b1[:, None],
+          w2, ws2d)
+        dx = dxp[0] + dxp[1]
+        return dx, dw1, db1[:, 0], dw2, db2[0, :, 0]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(2, n_tiles),
-        in_specs=[
-            pl.BlockSpec((tile, D), lambda hh, i, e: (i, 0)),
-            pl.BlockSpec((tile, D), lambda hh, i, e: (i, 0)),
-            pl.BlockSpec((1, D, H2), lambda hh, i, e: (e[i], 0, hh)),
-            pl.BlockSpec((1, 1, H2), lambda hh, i, e: (e[i], 0, hh)),
-            pl.BlockSpec((1, H2, D), lambda hh, i, e: (e[i], hh, 0)),
-            ws_spec,
-        ],
-        out_specs=[
-            row_d,                                                   # dx part
-            pl.BlockSpec((1, D, H2), lambda hh, i, e: (e[i], 0, hh)),
-            pl.BlockSpec((1, 1, H2), lambda hh, i, e: (e[i], 0, hh)),
-            pl.BlockSpec((1, H2, D), lambda hh, i, e: (e[i], hh, 0)),
-            pl.BlockSpec((1, 1, 1, D), lambda hh, i, e: (hh, e[i], 0, 0)),
-        ],
+        in_specs=in_specs,
+        out_specs=out_specs,
     )
     dxp, dw1, db1, dw2, db2 = pl.pallas_call(
         functools.partial(_bwd_kernel, gelu_pair=_gelu_pair_fn(xs.dtype),
                           has_scale=has_scale),
         grid_spec=grid_spec,
-        out_shape=[
-            jax.ShapeDtypeStruct((2, Tp, D), xs.dtype),
-            jax.ShapeDtypeStruct((E, D, H), jnp.float32),
-            jax.ShapeDtypeStruct((E, 1, H), jnp.float32),
-            jax.ShapeDtypeStruct((E, H, D), jnp.float32),
-            jax.ShapeDtypeStruct((2, E, 1, D), jnp.float32),
-        ],
+        out_shape=out_shape,
         interpret=_interpret(),
     )(e_of_tile, dy, xs, w1, b1[:, None], w2, ws2d)
     dx = dxp[0] + dxp[1]  # XLA fuses this add into the consumer
@@ -391,9 +522,19 @@ def fused_expert_ffn(xs, w1, b1, w2, b2, e_of_tile, dy_scale=None,
 # row tile ahead, so their latency hides under the tile's GEMMs (the kernel
 # runs ~80% MXU). xs is never materialized in HBM: the forward saves its
 # write (~2.3 ms) and read, the backward re-gathers (same read the
-# materialized xs would cost). Risk: 256 DMA issues/tile from the scalar
-# core; measure on silicon before switching production (SSMV_GATHER_IN_KERNEL
-# stays opt-in until then).
+# materialized xs would cost).
+#
+# STATUS (r4, real v5e): NOT LOWERABLE on the current libtpu. Mosaic
+# requires slices of a tiled HBM memref to be 8-sublane-aligned along the
+# sliced dim ("Slice shape along dimension 0 must be aligned to tiling (8),
+# but is 1") — a single-row x_hbm.at[src] DMA is exactly a 1-row slice.
+# No escape at D=384: every (T, 8k, 128m) reshape that would make the row
+# its own leading index pads 384 -> >=1024 elements/row (>=2.7x HBM traffic,
+# worse than the 60%-of-peak XLA gather), and 1-D flattening needs
+# 256-element (bf16) offset alignment that 384-element rows break on odd
+# rows. The code is kept for a future libtpu with unaligned-DMA support;
+# correctness holds in interpret mode (tests/test_fused_ffn.py). The env
+# knob SSMV_GATHER_IN_KERNEL therefore stays OFF in production.
 
 
 def _gather_tile_dma(x_hbm, g_ref, xbuf, sems, tile_idx, slot,
@@ -669,8 +810,15 @@ def _ffn_bwd(layout_rows, res, dy):
     bwd_tile = (LAYOUT_ROWS if (layout_rows % LAYOUT_ROWS == 0
                                 and xs.shape[0] % LAYOUT_ROWS == 0)
                 else TILE_ROWS)
+    # deferred-dw pairing (SSMV_DEFER_DW, trace-time): the LAYOUT_ROWS
+    # dw-GEMM win for layouts that cannot promote — dynamic (dropless)
+    # e_of_tile or odd per-expert tile counts. Opt-in until measured on
+    # silicon; the promoted LAYOUT_ROWS path keeps priority when available.
+    defer = (bwd_tile == TILE_ROWS
+             and os.environ.get("SSMV_DEFER_DW", "0") == "1")
     dx, dw1, db1, dw2, db2 = _bwd(dy, xs, w1, b1, w2, e_of_tile,
-                                  dy_scale=dy_scale, tile=bwd_tile)
+                                  dy_scale=dy_scale, tile=bwd_tile,
+                                  defer_dw=defer)
     de = np.zeros(e_of_tile.shape, dtype=jax.dtypes.float0)
     # zero by contract — the public wrapper stop_gradients dy_scale
     ds = None if dy_scale is None else jnp.zeros_like(dy_scale)

@@ -73,6 +73,19 @@ def supported(x) -> bool:
     return x.ndim == 2 and _row_tile(x.shape[0]) is not None
 
 
+def profitable(x) -> bool:
+    """True where the fused kernels measured FASTER than XLA LN — the
+    'auto' policy. Measured r4 (real v5e, scripts/bench_ln_layout_r4.py +
+    /tmp/ln_flagship.log): at D=192 (deit-tiny b256 eval) Mosaic pads the
+    lane dim to 256 (+33% VPU/VMEM waste) and XLA inserts a
+    {2,1,0}->{2,0,1} layout copy on the pallas operand — plain XLA LN runs
+    19% faster (10.36 vs 12.36 ms/fwd). At D=384 (ViT-S flagship train)
+    the fused kernel keeps its win (83.19 vs 85.74 ms/step). So: fused only
+    at lane-aligned channel widths; explicit impl='fused' still forces the
+    kernel at any supported shape (benchmarks re-measure the trade)."""
+    return x.shape[-1] % 128 == 0
+
+
 def _specs(shape, itemsize: int = 2):
     """(grid, row-block spec, vec spec) for a (B, N, D) or (rows, D) array."""
     if len(shape) == 3:

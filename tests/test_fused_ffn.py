@@ -208,10 +208,11 @@ def test_paired_backward_auto_enables_and_matches(monkeypatch):
     real_bwd = fused_ffn._bwd
 
     def spy_bwd(dy, xs, w1, b1, w2, e_of_tile, dy_scale=None,
-                tile=TILE_ROWS, force=None):
+                tile=TILE_ROWS, defer_dw=False, force=None):
         seen_tiles.append(tile)
         return real_bwd(dy, xs, w1, b1, w2, e_of_tile, dy_scale=dy_scale,
-                        tile=force or tile)
+                        tile=force or tile,
+                        defer_dw=defer_dw and force is None)
 
     monkeypatch.setattr(fused_ffn, "_bwd", spy_bwd)
 

@@ -210,6 +210,43 @@ def test_capacity_fused_matches_scatter_capacity(capacity_factor):
                                    err_msg=nm)
 
 
+@pytest.mark.parametrize("capacity", [None, 700])
+def test_defer_dw_backward_matches_base(capacity):
+    """SSMV_DEFER_DW=1 pairs consecutive same-expert tiles' dw GEMMs through
+    VMEM scratch (one K=2*TILE_ROWS flush). Gradients must match the default
+    backward for dropless (dynamic e_of_tile) AND capacity (concrete, ODD
+    per-expert tile counts: 700 -> Cp=768 = 3 tiles) layouts. Expert 0 is
+    skewed to own >=4 row tiles (paired flushes), expert 2 is starved
+    (min-tile padding -> single-flush path zeroing the stale scratch half)."""
+    import functools
+    import os
+
+    p = _params(jax.random.PRNGKey(31), E=3)
+    p["router_b"] = jnp.asarray([4.0, 0.0, -1e9])
+    x = jax.random.normal(jax.random.PRNGKey(32), (400, 16))
+    argnums = (0, 1, 2, 3)
+
+    def loss_fused(w1, b1, w2, b2):
+        y, _ = moe_ops.moe_forward_fused(
+            x, p["router_w"], p["router_b"], w1, b1, w2, b2, top_k=2,
+            capacity=capacity)
+        return jnp.sum(y ** 2)
+
+    grad = jax.grad(loss_fused, argnums=argnums)
+    g_base = grad(p["w1"], p["b1"], p["w2"], p["b2"])
+    os.environ["SSMV_DEFER_DW"] = "1"
+    try:
+        g_defer = jax.grad(loss_fused, argnums=argnums)(
+            p["w1"], p["b1"], p["w2"], p["b2"])
+    finally:
+        os.environ["SSMV_DEFER_DW"] = "0"
+    for a, e, nm in zip(g_defer, g_base, ("dw1", "db1", "dw2", "db2")):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(e), atol=2e-5,
+                                   err_msg=f"{nm} capacity={capacity}")
+    # the starved expert's gradient is exactly zero in both modes
+    assert float(jnp.abs(jnp.asarray(g_defer[0])[2]).max()) == 0.0
+
+
 def test_zero_token_expert():
     """An expert that receives ZERO tokens must still own >=1 layout tile.
 
