@@ -83,6 +83,30 @@ def test_unsupported_rows_fall_back():
     assert fl.supported(_np.zeros((2, 5, 128))) is True
 
 
+def test_auto_policy_prefers_xla_at_unaligned_widths(monkeypatch):
+    """'auto' uses the fused kernel only at 128-aligned channel widths (the
+    r4-measured policy: at D=192 Mosaic pads lanes 192->256 and XLA LN is
+    19% faster; D=384 keeps the fused win). Explicit impl='fused' still
+    forces the kernel at any supported shape."""
+    import numpy as _np
+
+    from slim_switch_moe_vit_tpu.models.layers import LayerNorm
+
+    assert fl.profitable(_np.zeros((40, 192))) is False   # deit-tiny width
+    assert fl.profitable(_np.zeros((40, 384))) is True    # ViT-S width
+    assert fl.profitable(_np.zeros((2, 8, 768))) is True  # ViT-B width
+
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    x192, x384 = _np.zeros((40, 192)), _np.zeros((40, 384))
+    assert LayerNorm(impl="auto")._fused_ok(x192) is False
+    assert LayerNorm(impl="auto")._fused_ok(x384) is True
+    assert LayerNorm(impl="fused")._fused_ok(x192) is True
+    assert LayerNorm(impl="xla")._fused_ok(x384) is False
+    # non-TPU backend: auto never picks the fused kernel
+    monkeypatch.setattr(jax, "default_backend", lambda: "cpu")
+    assert LayerNorm(impl="auto")._fused_ok(x384) is False
+
+
 def test_vit_deferred_chain_matches_plain_blocks():
     """ViT forward + grads with ln_impl='fused' (interpret kernels) must equal
     the plain per-block path (ln_impl='xla')."""
