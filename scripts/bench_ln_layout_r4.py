@@ -6,16 +6,22 @@ table). r3 established the seam is NOT the proj->LN boundary (folding proj
 into the MHA kernel left the copy in place and was itself slower). Variants
 here probe the layout-assignment seam directly:
 
-  base     — production eval forward (control; expect the copy in the trace)
-  barrier  — optimization_barrier between attn-proj and norm operand (pins
-             the operand as a jit-internal value XLA may lay out differently)
-  flat2d   — run the model with fused-LN consuming (B*N, C) via reshape
-             (the GEMM producer is (B*N, C) internally; if XLA elides both
-             reshapes no rank-3 layout choice exists at the seam). NOTE the
-             TRAIN-shape 2-D variant cost 1.4 ms in copies at b128 (ledger);
-             eval b256/tiny may differ — measure, don't assume.
-  xla_ln   — ln_impl='xla' control: how much the copy + kernel win nets vs
-             plain XLA LN at this shape.
+  base     — fused-LN eval forward (control; expect the copy in the trace).
+             NOTE: since the r4 `profitable()` policy, ln_impl='auto' routes
+             D=192 to XLA LN, so base/barrier pass ln_impl='fused'
+             explicitly to keep measuring the fused-kernel graph this
+             experiment is about.
+  barrier  — fused LN + optimization_barrier between attn-proj and norm
+             operand (pins the operand as a jit-internal value XLA may lay
+             out differently)
+  xla_ln   — ln_impl='xla': the production 'auto' choice at D=192 since r4
+             (how much dropping the kernel + copy nets at this shape).
+
+OUTCOME (r4 window, real v5e): base 12.355, xla_ln 10.356, barrier 13.079
+ms/fwd — the barrier makes it WORSE and xla_ln wins 19%, which is why
+`auto` now excludes non-128-aligned widths (ops/fused_ln.py::profitable).
+A planned flat2d variant (feed the LN a (B*N, C) reshape) was never wired
+into the model and is superseded by that policy fix.
 
 Usage (TPU): python scripts/bench_ln_layout_r4.py [--reps 5] [--trace DIR]
 Prints ms/fwd per variant; with --trace, writes a profiler trace per variant
@@ -76,12 +82,14 @@ def main():
         variants[name] = lambda c, m=model, v=variables: m.apply(
             v, c, deterministic=True)
 
-    add("base")
+    # explicit 'fused': the r4 auto policy routes D=192 to XLA LN, which
+    # would otherwise make base/barrier measure the same graph as xla_ln
+    add("base", ln_impl="fused")
     add("xla_ln", ln_impl="xla")
     # barrier: SSMV_LN_BARRIER=1 pins the LN pallas operand's layout at the
     # producer (models/layers.py reads the env at trace time) — probes
     # whether the {2,1,0}->{2,0,1} copy is assignment-driven or mandatory
-    add("barrier")
+    add("barrier", ln_impl="fused")
 
     import os
 

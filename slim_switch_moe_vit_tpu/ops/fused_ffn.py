@@ -214,6 +214,30 @@ def _accumulate(first, refs_and_vals):
             ref[:] = ref[:] + val
 
 
+def _tile_dx(x, dy, w1_ref, b1_ref, w2_ref, dxp_ref, gelu_pair):
+    """Per-tile dx/db math shared by the three backward kernels
+    (_bwd_kernel, _bwd_kernel_defer, _bwd_gather_kernel): recompute h and
+    g = gelu(h) / dg = gelu'(h) for this hidden half (one evaluation
+    sharing the CDF term), form dh = (dy @ w2h^T) * dg, write the dx
+    partial, and return (dhb, g, db1, db2) — the caller picks its own dw
+    strategy (per-tile GEMMs, deferred VMEM-paired GEMMs, ...)."""
+    h = jnp.dot(x, w1_ref[0], preferred_element_type=jnp.float32)
+    h = h + b1_ref[0, 0].astype(jnp.float32)
+    g32, dg = gelu_pair(h)
+    dyh = jax.lax.dot_general(
+        dy, w2_ref[0], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    dh = dyh * dg
+    dhb = dh.astype(x.dtype)
+    dxp = jax.lax.dot_general(
+        dhb, w1_ref[0], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    dxp_ref[0] = dxp.astype(dxp_ref.dtype)
+    db1 = jnp.sum(dh, axis=0)[None, None]
+    db2 = jnp.sum(dy.astype(jnp.float32), axis=0)[None, None, None]
+    return dhb, g32.astype(x.dtype), db1, db2
+
+
 def _bwd_kernel(e_ref, dy_ref, x_ref, w1_ref, b1_ref, w2_ref, ws_ref,
                 dxp_ref, dw1_ref, db1_ref, dw2_ref, db2_ref, *, gelu_pair,
                 has_scale):
@@ -226,29 +250,14 @@ def _bwd_kernel(e_ref, dy_ref, x_ref, w1_ref, b1_ref, w2_ref, ws_ref,
         # saves the standalone (Tp, D) select-multiply pass the combine VJP
         # would otherwise emit
         dy = dy * ws_ref[:].astype(dy.dtype)
-    h = jnp.dot(x, w1_ref[0], preferred_element_type=jnp.float32)
-    h = h + b1_ref[0, 0].astype(jnp.float32)
-    # g = gelu(h), dg = gelu'(h) — one evaluation sharing the CDF term
-    g32, dg = gelu_pair(h)
-    # dh = (dy @ w2h^T) * gelu'(h)   (this hidden half only)
-    dyh = jax.lax.dot_general(
-        dy, w2_ref[0], (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32)
-    dh = dyh * dg
-    dhb = dh.astype(x.dtype)
-    dxp = jax.lax.dot_general(
-        dhb, w1_ref[0], (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32)
-    dxp_ref[0] = dxp.astype(dxp_ref.dtype)
+    dhb, g, db1, db2 = _tile_dx(x, dy, w1_ref, b1_ref, w2_ref, dxp_ref,
+                                gelu_pair)
     dw1 = jax.lax.dot_general(  # x^T @ dh -> (D, H2)
         x, dhb, (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)[None]
-    db1 = jnp.sum(dh, axis=0)[None, None]
-    g = g32.astype(x.dtype)
     dw2 = jax.lax.dot_general(  # g^T @ dy -> (H2, D)
         g, dy, (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)[None]
-    db2 = jnp.sum(dy.astype(jnp.float32), axis=0)[None, None, None]
     _accumulate(first, [(dw1_ref, dw1), (db1_ref, db1), (dw2_ref, dw2),
                         (db2_ref, db2)])
 
@@ -300,22 +309,9 @@ def _bwd_kernel_defer(e_ref, f_ref, dy_ref, x_ref, w1_ref, b1_ref, w2_ref,
     dy = dy_ref[:]
     if has_scale:
         dy = dy * ws_ref[:].astype(dy.dtype)
-    h = jnp.dot(x, w1_ref[0], preferred_element_type=jnp.float32)
-    h = h + b1_ref[0, 0].astype(jnp.float32)
-    g32, dg = gelu_pair(h)
-    dyh = jax.lax.dot_general(
-        dy, w2_ref[0], (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32)
-    dh = dyh * dg
-    dhb = dh.astype(x.dtype)
-    dxp = jax.lax.dot_general(
-        dhb, w1_ref[0], (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32)
-    dxp_ref[0] = dxp.astype(dxp_ref.dtype)
-    db1 = jnp.sum(dh, axis=0)[None, None]
-    db2 = jnp.sum(dy.astype(jnp.float32), axis=0)[None, None, None]
+    dhb, g, db1, db2 = _tile_dx(x, dy, w1_ref, b1_ref, w2_ref, dxp_ref,
+                                gelu_pair)
     _accumulate(first, [(db1_ref, db1), (db2_ref, db2)])
-    g = g32.astype(x.dtype)
 
     # stash this tile at scratch half pos%2 (== include at flush steps)
     @pl.when(jnp.logical_not(include))
@@ -333,10 +329,15 @@ def _bwd_kernel_defer(e_ref, f_ref, dy_ref, x_ref, w1_ref, b1_ref, w2_ref,
         dy_scr[tile:] = dy
 
     # single-tile flush (odd group size / 1-tile group): the second scratch
-    # half holds a stale tile — zero its cotangents so it contributes nothing
+    # half holds a stale tile. Zero BOTH members of each dw product pair —
+    # before the first paired write this half is uninitialized VMEM on real
+    # TPU (interpret zero-fills), and NaN/Inf garbage times a zeroed
+    # cotangent is still NaN, so zeroing dh/dy alone is not enough.
     @pl.when(jnp.logical_and(flush, jnp.logical_not(include)))
     def _():
+        xs_scr[tile:] = jnp.zeros((tile, xs_scr.shape[1]), xs_scr.dtype)
         dh_scr[tile:] = jnp.zeros((tile, dh_scr.shape[1]), dh_scr.dtype)
+        g_scr[tile:] = jnp.zeros((tile, g_scr.shape[1]), g_scr.dtype)
         dy_scr[tile:] = jnp.zeros((tile, dy_scr.shape[1]), dy_scr.dtype)
 
     @pl.when(flush)
@@ -638,27 +639,14 @@ def _bwd_gather_kernel(e_ref, g_ref, dy_ref, x_hbm, w1_ref, b1_ref, w2_ref,
     dy = dy_ref[:]
     if has_scale:
         dy = dy * ws_ref[:].astype(dy.dtype)
-    h = jnp.dot(x, w1_ref[0], preferred_element_type=jnp.float32)
-    h = h + b1_ref[0, 0].astype(jnp.float32)
-    g32, dg = gelu_pair(h)
-    dyh = jax.lax.dot_general(
-        dy, w2_ref[0], (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32)
-    dh = dyh * dg
-    dhb = dh.astype(x.dtype)
-    dxp = jax.lax.dot_general(
-        dhb, w1_ref[0], (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32)
-    dxp_ref[0] = dxp.astype(dxp_ref.dtype)
+    dhb, g, db1, db2 = _tile_dx(x, dy, w1_ref, b1_ref, w2_ref, dxp_ref,
+                                gelu_pair)
     dw1 = jax.lax.dot_general(
         x, dhb, (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)[None]
-    db1 = jnp.sum(dh, axis=0)[None, None]
-    g = g32.astype(x.dtype)
     dw2 = jax.lax.dot_general(
         g, dy, (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)[None]
-    db2 = jnp.sum(dy.astype(jnp.float32), axis=0)[None, None, None]
     _accumulate(first, [(dw1_ref, dw1), (db1_ref, db1), (dw2_ref, dw2),
                         (db2_ref, db2)])
 
