@@ -95,6 +95,9 @@ def main():
         "unit": "ms/step",
         "vs_baseline": None,
         "vs_achievable": None,  # virtual CPU mesh: no hardware roofline
+        "detail": ("CORRECTNESS-ONLY artifact: 8 virtual XLA-CPU devices "
+                   "oversubscribing a 1-core host; step time swings with "
+                   "host load and is NOT a performance signal"),
     }))
 
 

@@ -56,16 +56,26 @@ def main():
     defer = run(True)
     names = ("dx", "dw1", "db1", "dw2", "db2")
     bad = 0
+    # ELEMENTWISE criterion (r4 advisor): a tolerance scaled by the tensor-
+    # wide max would let a localized error up to 2% of the LARGEST entry
+    # anywhere in dw1/dw2 pass undetected — exactly the stale-scratch bug
+    # class this script exists to catch. Each element must match within
+    # rtol of ITS OWN reference magnitude (bf16 stash rounding) plus a
+    # small absolute floor for near-cancelled entries.
+    rtol, atol = 2e-2, 1e-3
     for a, b, nm in zip(defer, base, names):
         if not np.isfinite(a).all():
             print(f"FAIL {nm}: non-finite values in defer output")
             bad += 1
             continue
-        err = np.abs(a - b).max()
-        ref = max(np.abs(b).max(), 1e-6)
-        ok = err <= 2e-2 * ref + 1e-4
-        print(f"{'ok  ' if ok else 'FAIL'} {nm}: max_abs_diff={err:.3e} "
-              f"(ref_max={ref:.3e})")
+        excess = np.abs(a - b) - (rtol * np.abs(b) + atol)
+        ok = bool((excess <= 0).all())
+        worst = np.unravel_index(np.argmax(excess), excess.shape)
+        print(f"{'ok  ' if ok else 'FAIL'} {nm}: max_abs_diff="
+              f"{np.abs(a - b).max():.3e}, worst elem {worst}: "
+              f"got {a[worst]:.5f} want {b[worst]:.5f} "
+              f"(excess over rtol={rtol}/atol={atol}: "
+              f"{max(excess[worst], 0.0):.3e})")
         bad += 0 if ok else 1
     if bad:
         sys.exit(1)

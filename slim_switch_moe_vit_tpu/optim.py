@@ -211,7 +211,54 @@ def scaled_lr(lr: float, batch_size: int, world_size: int,
     return lr * batch_size * world_size / 512.0
 
 
-SUPPORTED_OPTIMIZERS = ("adamw", "adam", "sgd", "nesterov", "momentum")
+SUPPORTED_OPTIMIZERS = ("adamw", "adam", "sgd", "nesterov", "momentum",
+                        "lamb")
+
+
+def _lamb_global_grad_rescale(max_grad_norm: float):
+    """timm Lamb's pre-step: divide EVERY grad by
+    ``max(1, global_grad_norm / max_grad_norm)`` (timm optim/lamb.py, ported
+    from NVIDIA FusedLAMB; default ``max_grad_norm=1.0``). Unlike
+    ``optax.clip_by_global_norm`` this always *divides* rather than clipping
+    only when over the threshold — the formulas coincide, both scale by
+    ``min(1, max_norm/gnorm)``."""
+
+    def init(params):
+        del params
+        return optax.EmptyState()
+
+    def update(updates, state, params=None):
+        del params
+        gnorm = optax.global_norm(updates)
+        denom = jnp.maximum(1.0, gnorm / max_grad_norm)
+        return jax.tree.map(lambda g: g / denom, updates), state
+
+    return optax.GradientTransformation(init, update)
+
+
+def _scale_by_trust_ratio_masked(mask_fn):
+    """timm Lamb layer adaptation: ``trust_ratio = ||p|| / ||update||`` when
+    both norms are positive, else 1 — applied ONLY to params whose group has
+    weight decay (timm lamb.py: ``if group['weight_decay'] != 0 or
+    always_adapt``; the factory routes no-decay params into a wd=0 group, so
+    they update with trust_ratio 1)."""
+
+    def init(params):
+        del params
+        return optax.EmptyState()
+
+    def update(updates, state, params):
+        mask = mask_fn(params)
+
+        def f(u, p, m):
+            pn = jnp.linalg.norm(p)
+            un = jnp.linalg.norm(u)
+            tr = jnp.where(pn > 0.0, jnp.where(un > 0.0, pn / un, 1.0), 1.0)
+            return u * jnp.where(m, tr, 1.0)
+
+        return jax.tree.map(f, updates, params, mask), state
+
+    return optax.GradientTransformation(init, update)
 
 
 def make_optimizer(params, *, opt: str = "adamw", weight_decay: float = 0.05,
@@ -231,6 +278,10 @@ def make_optimizer(params, *, opt: str = "adamw", weight_decay: float = 0.05,
     - ``sgd`` / ``nesterov`` — torch SGD with Nesterov momentum (timm maps
       plain ``sgd`` to nesterov=True); L2 weight decay on the gradient.
     - ``momentum`` — SGD with heavy-ball (non-Nesterov) momentum.
+    - ``lamb`` — timm Lamb (FusedLAMB port): global grad-norm pre-division
+      (max_grad_norm=1), Adam moments, decoupled weight decay, per-param
+      trust ratio on decayed params only (torch-parity tested in
+      tests/test_optim_extras.py).
 
     Any other name raises — this framework refuses to silently substitute an
     algorithm (PARITY 2.1). In all cases timm's no-decay filtering applies
@@ -256,6 +307,18 @@ def make_optimizer(params, *, opt: str = "adamw", weight_decay: float = 0.05,
         chain.append(optax.scale_by_adam(b1=betas[0], b2=betas[1], eps=eps))
         if weight_decay:
             chain.append(optax.add_decayed_weights(weight_decay, mask=wd_mask))
+    elif opt == "lamb":
+        # timm Lamb order: global grad rescale -> Adam moments (eps outside
+        # the sqrt, same as scale_by_adam) -> +wd*p -> trust ratio on the
+        # decayed params. optax.lamb differs on the first and last points
+        # (no global rescale; unconditional trust ratio), so build it here.
+        chain.append(_lamb_global_grad_rescale(1.0))
+        chain.append(optax.scale_by_adam(b1=betas[0], b2=betas[1], eps=eps))
+        if weight_decay:
+            chain.append(optax.add_decayed_weights(weight_decay, mask=wd_mask))
+        chain.append(_scale_by_trust_ratio_masked(
+            wd_mask if weight_decay else
+            (lambda params: jax.tree.map(lambda _: False, params))))
     elif opt == "adam":
         # torch Adam: L2 on the gradient BEFORE the moment update
         if weight_decay:

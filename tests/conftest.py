@@ -17,3 +17,21 @@ os.environ["JAX_PLATFORMS"] = "cpu"
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+
+# Build the native C++ dataloader if it's missing so test_native_loader.py
+# runs everywhere a compiler exists (VERDICT r4 #4 — the .so is gitignored,
+# and without this the 4 native tests silently skip and only the PIL
+# fallback is ever exercised). ~2 s one-time; skipped cleanly if no g++.
+import shutil  # noqa: E402
+import subprocess  # noqa: E402
+
+_NATIVE = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), "native")
+if (not os.path.exists(os.path.join(_NATIVE, "libssmv_dataloader.so"))
+        and os.path.isdir(_NATIVE)
+        and shutil.which(os.environ.get("CXX", "g++"))):
+    try:
+        subprocess.run(["make", "-C", _NATIVE], check=False,
+                       capture_output=True, timeout=120)
+    except Exception:  # noqa: BLE001 - fall back to the skip marker
+        pass

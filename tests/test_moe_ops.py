@@ -211,15 +211,18 @@ def test_capacity_fused_matches_scatter_capacity(capacity_factor):
 
 
 @pytest.mark.parametrize("capacity", [None, 700])
-def test_defer_dw_backward_matches_base(capacity):
+def test_defer_dw_backward_matches_base(capacity, monkeypatch):
     """SSMV_DEFER_DW=1 pairs consecutive same-expert tiles' dw GEMMs through
     VMEM scratch (one K=2*TILE_ROWS flush). Gradients must match the default
     backward for dropless (dynamic e_of_tile) AND capacity (concrete, ODD
     per-expert tile counts: 700 -> Cp=768 = 3 tiles) layouts. Expert 0 is
     skewed to own >=4 row tiles (paired flushes), expert 2 is starved
-    (min-tile padding -> single-flush path zeroing the stale scratch half)."""
-    import functools
-    import os
+    (min-tile padding -> single-flush path zeroing the stale scratch half).
+
+    A spy on fused_ffn._bwd asserts each grad call actually took the path it
+    claims to measure — without it, a regressed env-var gate in _ffn_bwd
+    would compare the base backward against itself and pass vacuously."""
+    from slim_switch_moe_vit_tpu.ops import fused_ffn
 
     p = _params(jax.random.PRNGKey(31), E=3)
     p["router_b"] = jnp.asarray([4.0, 0.0, -1e9])
@@ -232,14 +235,24 @@ def test_defer_dw_backward_matches_base(capacity):
             capacity=capacity)
         return jnp.sum(y ** 2)
 
+    seen_defer = []
+    real_bwd = fused_ffn._bwd
+
+    def spy_bwd(*args, **kwargs):
+        seen_defer.append(kwargs.get("defer_dw", False))
+        return real_bwd(*args, **kwargs)
+
+    monkeypatch.setattr(fused_ffn, "_bwd", spy_bwd)
+
     grad = jax.grad(loss_fused, argnums=argnums)
     g_base = grad(p["w1"], p["b1"], p["w2"], p["b2"])
-    os.environ["SSMV_DEFER_DW"] = "1"
-    try:
-        g_defer = jax.grad(loss_fused, argnums=argnums)(
-            p["w1"], p["b1"], p["w2"], p["b2"])
-    finally:
-        os.environ["SSMV_DEFER_DW"] = "0"
+    assert seen_defer and not any(seen_defer), seen_defer
+    seen_defer.clear()
+    monkeypatch.setenv("SSMV_DEFER_DW", "1")
+    g_defer = jax.grad(loss_fused, argnums=argnums)(
+        p["w1"], p["b1"], p["w2"], p["b2"])
+    assert seen_defer and all(seen_defer), \
+        f"deferred-dw path not taken: {seen_defer}"
     for a, e, nm in zip(g_defer, g_base, ("dw1", "db1", "dw2", "db2")):
         np.testing.assert_allclose(np.asarray(a), np.asarray(e), atol=2e-5,
                                    err_msg=f"{nm} capacity={capacity}")

@@ -175,10 +175,111 @@ def test_unsupported_opt_and_sched_raise():
     import pytest
 
     params = _tiny_params()
-    with pytest.raises(ValueError, match="--opt 'lamb'"):
-        optim.make_optimizer(params, opt="lamb")
+    with pytest.raises(ValueError, match="--opt 'adabelief'"):
+        optim.make_optimizer(params, opt="adabelief")
     with pytest.raises(ValueError, match="--sched 'plateau'"):
         optim.create_scheduler("plateau", 1e-3, 100)
+
+
+def _torch_lamb_reference(params, grads_seq, lr, wd, betas=(0.9, 0.999),
+                          eps=1e-8, max_grad_norm=1.0):
+    """timm ``Lamb.step`` math (timm optim/lamb.py, the NVIDIA FusedLAMB
+    port), written out directly in torch: global grad-norm division, Adam
+    moments with bias correction (eps outside the sqrt), ``+ wd * p`` on the
+    bias-corrected update, trust ratio ONLY for groups with weight decay
+    (timm's factory puts no-decay params in a wd=0 group)."""
+    import torch
+
+    kernel = torch.tensor(np.asarray(params["dense"]["kernel"]))
+    bias = torch.tensor(np.asarray(params["dense"]["bias"]))
+    state = {id(kernel): {}, id(bias): {}}
+    groups = [
+        {"params": [kernel], "weight_decay": wd},
+        {"params": [bias], "weight_decay": 0.0},
+    ]
+    step_t = 0
+    for gk, gb in grads_seq:
+        grads = {id(kernel): torch.tensor(np.asarray(gk)),
+                 id(bias): torch.tensor(np.asarray(gb))}
+        step_t += 1
+        gnorm = torch.sqrt(sum(g.pow(2).sum() for g in grads.values()))
+        clip = torch.where(gnorm > max_grad_norm, gnorm / max_grad_norm,
+                           torch.tensor(1.0))
+        bc1 = 1 - betas[0] ** step_t
+        bc2 = 1 - betas[1] ** step_t
+        for group in groups:
+            for p in group["params"]:
+                grad = grads[id(p)] / clip
+                st = state[id(p)]
+                if not st:
+                    st["exp_avg"] = torch.zeros_like(p)
+                    st["exp_avg_sq"] = torch.zeros_like(p)
+                st["exp_avg"].mul_(betas[0]).add_(grad, alpha=1 - betas[0])
+                st["exp_avg_sq"].mul_(betas[1]).addcmul_(
+                    grad, grad, value=1 - betas[1])
+                denom = (st["exp_avg_sq"] / bc2).sqrt().add_(eps)
+                update = (st["exp_avg"] / bc1).div_(denom)
+                if group["weight_decay"] != 0:
+                    update.add_(p, alpha=group["weight_decay"])
+                    w_norm = p.norm(2.0)
+                    g_norm = update.norm(2.0)
+                    trust = torch.where(
+                        w_norm > 0,
+                        torch.where(g_norm > 0, w_norm / g_norm,
+                                    torch.tensor(1.0)),
+                        torch.tensor(1.0))
+                    update.mul_(trust)
+                p.add_(update, alpha=-lr)
+    return kernel.numpy(), bias.numpy()
+
+
+def test_lamb_matches_timm_formula():
+    """--opt lamb parity vs the timm Lamb math (VERDICT r4 #9). Grad norms
+    >1 so the global pre-division actually engages; 4 steps so moments and
+    bias correction diverge from plain sign behavior."""
+    params = _tiny_params()
+    rng = np.random.RandomState(2)
+    grads_seq = [(3.0 * rng.randn(4, 3).astype(np.float32),
+                  3.0 * rng.randn(3).astype(np.float32)) for _ in range(4)]
+    # the pre-division must engage for the test to mean anything
+    g0 = np.sqrt((grads_seq[0][0] ** 2).sum() + (grads_seq[0][1] ** 2).sum())
+    assert g0 > 1.0
+    tk, tb = _torch_lamb_reference(params, grads_seq, 1e-2, 0.05)
+    jk, jb = _optax_run("lamb", params, grads_seq, 1e-2, 0.05)
+    np.testing.assert_allclose(jk, tk, rtol=2e-5, atol=2e-6)
+    np.testing.assert_allclose(jb, tb, rtol=2e-5, atol=2e-6)
+
+
+def test_lamb_no_decay_param_skips_trust_ratio():
+    """A no-decay param's update must be plain (rescaled) Adam: with zero
+    weight decay everywhere, lamb and a hypothetical trust-everything lamb
+    differ — assert the bias trajectory equals Adam-with-global-rescale."""
+    params = _tiny_params()
+    rng = np.random.RandomState(3)
+    grads_seq = [(0.1 * rng.randn(4, 3).astype(np.float32),
+                  0.1 * rng.randn(3).astype(np.float32)) for _ in range(3)]
+    # reference: same math with wd=0 -> no trust ratio anywhere
+    tk, tb = _torch_lamb_reference(params, grads_seq, 1e-2, 0.0)
+    jk, jb = _optax_run("lamb", params, grads_seq, 1e-2, 0.0)
+    np.testing.assert_allclose(jk, tk, rtol=2e-5, atol=2e-6)
+    np.testing.assert_allclose(jb, tb, rtol=2e-5, atol=2e-6)
+
+
+def test_lamb_trains_e2e_one_step():
+    model = create_model("deit_tiny_patch16_224", num_classes=5, img_size=32)
+    probe = create_train_state(model, (1, 32, 32, 3))
+    oi, ou = optim.make_optimizer(probe.params, opt="lamb", weight_decay=0.05)
+    state = create_train_state(model, (1, 32, 32, 3), opt_init=oi)
+    crit = losses.make_base_criterion(False, 0.1, False)
+    step = make_train_step(model, ou, crit, donate=False)
+    x = jax.random.normal(jax.random.PRNGKey(0), (4, 32, 32, 3))
+    y = jnp.array([0, 1, 2, 3])
+    new_state, m = step(state, x, y, jnp.float32(1e-3), jnp.float32(1e-3))
+    assert np.isfinite(float(m["loss"]))
+    moved = float(jnp.abs(
+        new_state.params["head"]["kernel"]
+        - state.params["head"]["kernel"]).sum())
+    assert moved > 0
 
 
 def test_sgd_trains_e2e_one_step():
