@@ -361,6 +361,148 @@ def _run_switchable(steps=50):
     }
 
 
+def _run_recipe(steps=300, steps_per_epoch=10, batch=16, ema_decay=0.99996):
+    """Golden config 6 (VERDICT r4 #7): the full cmd.sh recipe math.
+
+    The reference recipe (``/root/reference/cmd.sh:7-13``) is: RandAugment
+    rand-m9-mstd0.5-inc1 + random erasing + mixup 0.8 / cutmix 1.0 with
+    smoothing 0.1 folded into soft targets -> SoftTargetCrossEntropy ->
+    AdamW wd 0.05 + epoch-granular cosine LR (warmup 5) -> ModelEma 0.99996
+    (``main.py:505-517,597-607,653-657,729-734``; ``engine.py:22-85``).
+
+    Shared-batch protocol: the on-device aug pipeline (data/device_aug.py +
+    data/mixup.py) generates each step's augmented images and mixup soft
+    targets ONCE, and the identical float batches feed both this framework
+    and the torch oracle — so RNG-stream differences are out of the
+    comparison and what is measured is the full recipe's training math:
+    forward/backward through STE gates + dropless MoE, soft-target CE,
+    cosine-scheduled AdamW with the gate LR group, and the EMA trajectory.
+    The only recipe ingredient NOT exercised is the real dataset.
+    """
+    import jax
+    import jax.numpy as jnp
+    import torch
+
+    from slim_switch_moe_vit_tpu import create_model, losses, optim
+    from slim_switch_moe_vit_tpu.data.device_aug import build_device_augment
+    from slim_switch_moe_vit_tpu.data.mixup import make_mixup_fn
+    from slim_switch_moe_vit_tpu.engine import make_train_step
+    from slim_switch_moe_vit_tpu.train_state import create_train_state
+    from torch_oracle import OracleResMoEViT, load_from_flax, \
+        train_losses_recipe
+
+    epochs = steps // steps_per_epoch
+    sched = optim.TimmCosineSchedule(LR, epochs, warmup_epochs=5,
+                                     warmup_lr=1e-6, min_lr=1e-5)
+    lrs = [sched(s // steps_per_epoch) for s in range(steps)]
+    gate_lrs = [GATE_LR * sched.scale(s // steps_per_epoch)
+                for s in range(steps)]
+
+    # ---- shared-batch protocol: generate all augmented batches once ----
+    aug = build_device_augment(input_size=32, aa="rand-m9-mstd0.5-inc1",
+                               hflip=0.5, color_jitter=0.3, reprob=0.25)
+    mix = make_mixup_fn(mixup_alpha=0.8, cutmix_alpha=1.0, prob=1.0,
+                        switch_prob=0.5, label_smoothing=0.1, num_classes=10)
+
+    @jax.jit
+    def make_batch(key, raw, labels):
+        k_aug, k_mix = jax.random.split(key)
+        x = aug(k_aug, raw)
+        return mix(k_mix, x, labels)
+
+    rs = np.random.RandomState(17)
+    nb = steps_per_epoch  # one pass over the raw set per epoch
+    raw = rs.randint(0, 256, (nb, batch, 32, 32, 3)).astype(np.uint8)
+    raw_labels = rs.randint(0, 10, (nb, batch))
+    images = np.empty((steps, batch, 32, 32, 3), np.float32)
+    targets = np.empty((steps, batch, 10), np.float32)
+    key = jax.random.PRNGKey(99)
+    for s in range(steps):
+        x, t = make_batch(jax.random.fold_in(key, s),
+                          jnp.asarray(raw[s % nb]),
+                          jnp.asarray(raw_labels[s % nb]))
+        images[s] = np.asarray(x)
+        targets[s] = np.asarray(t)
+    # eval batch: plain normalize (no aug), never trained on
+    from slim_switch_moe_vit_tpu.data.device_aug import build_eval_normalize
+    eval_x = np.asarray(build_eval_normalize()(jnp.asarray(
+        rs.randint(0, 256, (64, 32, 32, 3)).astype(np.uint8))))
+    eval_y = rs.randint(0, 10, (64,))
+
+    # ---- this framework ----
+    model = create_model(
+        "resmoe_tiny_patch16_224_expert8", num_classes=10, img_size=32,
+        dispatch_mode="ragged", capacity_factor=2.0,
+        starting_threshold=THRESHOLD, target_threshold=THRESHOLD)
+    probe = create_train_state(model, (1, 32, 32, 3))
+    opt_init, opt_update = optim.make_optimizer(probe.params,
+                                                weight_decay=0.05)
+    state = create_train_state(model, (1, 32, 32, 3), opt_init=opt_init,
+                               use_ema=True)
+    init_params = jax.tree.map(np.asarray, state.params)
+    crit = losses.make_base_criterion(True, 0.1, False)  # soft-target CE
+    step = make_train_step(model, opt_update, crit, ema_decay=ema_decay,
+                           donate=False)
+
+    jax_curve = []
+    for s in range(steps):
+        state, metrics = step(state, jnp.asarray(images[s]),
+                              jnp.asarray(targets[s]),
+                              jnp.float32(lrs[s]), jnp.float32(gate_lrs[s]))
+        jax_curve.append(round(float(metrics["loss"]), 6))
+        if s % 50 == 0:
+            print(f"  jax step {s:3d}: {jax_curve[-1]:.6f} "
+                  f"(lr {lrs[s]:.2e})", flush=True)
+
+    def eval_loss(params):
+        variables = {"params": params}
+        if state.gates:
+            variables["gates"] = state.gates
+        logits = model.apply(variables, jnp.asarray(eval_x),
+                             deterministic=True)
+        return float(losses.cross_entropy(logits, jnp.asarray(eval_y)))
+
+    jax_eval = eval_loss(state.params)
+    jax_ema_eval = eval_loss(state.ema_params)
+
+    # ---- torch oracle, same batches ----
+    torch.manual_seed(0)
+    oracle = OracleResMoEViT(num_classes=10)
+    load_from_flax(oracle, init_params)
+    o = train_losses_recipe(oracle, images, targets, lrs, gate_lrs,
+                            threshold=THRESHOLD, ema_decay=ema_decay,
+                            eval_images=eval_x, eval_labels=eval_y)
+    torch_curve = [round(v, 6) for v in o["losses"]]
+
+    return {
+        "config": {
+            "model": "resmoe_tiny_patch16_224_expert8 (img 32, 10 classes)",
+            "recipe": "cmd.sh: RandAugment m9-mstd0.5 + erasing 0.25 + "
+                      "mixup 0.8/cutmix 1.0 (smoothing 0.1 in targets) + "
+                      "SoftTargetCE + AdamW wd 0.05 + cosine(warmup 5) + "
+                      "EMA 0.99996",
+            "steps": steps, "steps_per_epoch": steps_per_epoch,
+            "epochs": epochs, "base_lr": LR, "gate_lr": GATE_LR,
+            "threshold": THRESHOLD, "dtype": "f32",
+            "batches": f"{nb}x{batch} raw uint8 seed 17; aug/mixup from the "
+                       "on-device pipeline, shared bit-exact (protocol: "
+                       "identical float batches to both sides)",
+            "aug_batch_stats": {
+                "mean": round(float(images.mean()), 5),
+                "std": round(float(images.std()), 5),
+                "target_max_mean": round(float(targets.max(-1).mean()), 5),
+            },
+        },
+        "reference_torch_oracle_loss": torch_curve,
+        "rebuild_jax_loss": jax_curve,
+        "final_eval_loss": {"jax": round(jax_eval, 6),
+                            "torch": round(o["final_eval_loss"], 6)},
+        "final_ema_eval_loss": {"jax": round(jax_ema_eval, 6),
+                                "torch": round(o["final_ema_eval_loss"], 6)},
+        **_drift(jax_curve, torch_curve),
+    }
+
+
 def main():
     import argparse
 
@@ -372,7 +514,8 @@ def main():
                     help="comma list of configs to (re)generate "
                          "(resmoe,distilled,capacity,sparse,switchable); default all")
     only = ap.parse_args().only
-    known = {"resmoe", "distilled", "capacity", "sparse", "switchable"}
+    known = {"resmoe", "distilled", "capacity", "sparse", "switchable",
+             "recipe"}
     todo = set(filter(None, only.split(","))) if only else set(known)
     unknown = todo - known - {"none"}
     if unknown:
@@ -428,8 +571,17 @@ def main():
         print(f"  drift: step0 {r['step0_rel_diff']:.2e}, "
               f"max {r['max_rel_diff']:.3f}, mean {r['mean_rel_diff']:.3f}")
 
+    if "recipe" in todo:
+        print("[recipe] full cmd.sh recipe math, 300 steps "
+              "(aug+mixup shared-batch protocol, cosine, EMA)")
+        golden["recipe_full"] = r = _run_recipe(steps=300)
+        print(f"  drift: step0 {r['step0_rel_diff']:.2e}, "
+              f"max {r['max_rel_diff']:.3f}, mean {r['mean_rel_diff']:.3f}; "
+              f"eval jax/torch {r['final_eval_loss']}, "
+              f"ema {r['final_ema_eval_loss']}")
+
     base["golden"] = golden
-    json.dump(base, open(path, "w"), indent=2)
+    json.dump(base, open(path, "w"), indent=1)
     print(f"\nwrote golden curves to {path}")
 
 

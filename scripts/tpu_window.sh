@@ -1,15 +1,13 @@
 #!/usr/bin/env bash
-# TPU-window playbook (round 4): the axon tunnel has been down for 21+ h, so
-# every hardware-gated item is queued here in value-per-minute order. Run
-# this the moment /tmp/tpu_health.log flips to UP — each step is bounded,
-# logged under $LOG, and skipped if its done-marker exists (resumable after
-# a mid-window tunnel death). One TPU process at a time (the tunnel
-# serializes; memory/axon-tpu-workflow.md).
+# TPU-window playbook (round 5): hardware-gated items in value-per-minute
+# order. Each step is bounded, logged under $LOG, and skipped if its
+# done-marker exists (resumable after a mid-window tunnel death). One TPU
+# process at a time (the tunnel serializes; memory/axon-tpu-workflow.md).
 #
 # Usage: scripts/tpu_window.sh [LOG_DIR]
 set -uo pipefail
 cd "$(dirname "$0")/.."
-LOG="${1:-/tmp/tpu_window_r4}"
+LOG="${1:-/tmp/tpu_window_r5}"
 mkdir -p "$LOG"
 
 step() {  # step NAME TIMEOUT_S CMD...
@@ -29,27 +27,32 @@ step sanity 120 python -c "
 import jax, jax.numpy as jnp
 print(jax.devices()); print(float(jnp.ones((8,8)).sum()))" || exit 1
 
-# 2. the graded scoreboard: all five BENCH lines (has its own probe +
-#    per-config timeouts; r3's artifact was empty — recapture FIRST).
-#    6600s > bench.py's internal worst case (probe 150 + 900+1200+1200+900
-#    + flagship 1500 = 5850) so a slow-but-alive tunnel can't kill cfg2.
-step bench_all 6600 python bench.py
+# 2. batch-scaling sweep (VERDICT r4 #3): b128/b256/b512 x layout {256,512}
+#    -> sets/validates ops/moe.py::_LAYOUT_512_MIN_TK; died mid-run 18:18
+step batch_scaling 3600 python scripts/bench_batch_scaling.py
 
-# 3. flagship experiments (VERDICT #3): one knob at a time, cfg2 only
-step fused_opt 1500 env BENCH_FUSED_OPT=1 python bench.py --cfg cfg2
-step gather_in_kernel 1500 env SSMV_GATHER_IN_KERNEL=1 python bench.py --cfg cfg2
+# 3. FFN-backward in-situ decomposition (VERDICT r4 #2): attribute the
+#    74%-in-model vs 89%-standalone gap per cause
+step ffn_bwd_insitu 2400 python scripts/bench_ffn_bwd_insitu.py
 
-# 4. serving on silicon (r3-late addition, zero hardware validation):
-#    export deit_tiny -> load -> predict -> batch-1 latency + b256 throughput
-step serving 1500 python scripts/bench_serving.py
+# 4. cfg1 fc2+LN-stat fusion-boundary A/B (VERDICT r4 #6)
+step cfg1_split_stats 1200 env SSMV_LN_SPLIT_STATS=1 python bench.py --cfg cfg1
 
-# 5. cfg1 LN-operand layout experiments (VERDICT #4)
-step ln_layout 1500 python scripts/bench_ln_layout_r4.py
+# 5. permuted-FFN kernel on real Mosaic (VERDICT r4 #8 validation + timing)
+step perm_ffn 1200 python scripts/check_perm_ffn_tpu.py
 
-# 6. fresh per-op trace with the paired FFN backward live
+# 6. defer-dw elementwise recheck (r4 advisor fix to the criterion)
+step defer_dw 900 python scripts/check_defer_dw_tpu.py
+
+# 7. serving re-export on the post-LN-policy path (VERDICT r4 #5):
+#    export is ~1300s one-time; records refreshed batch-1 latency
+step serving 2400 python scripts/bench_serving.py
+
+# 8. fresh per-op device trace (supports #2's in-model attribution)
 step profile 1200 python scripts/profile_flagship.py
 
-# 7. flagship-scale SYNTH learning curve (VERDICT #7) — longest, last
-step synth_flagship 5400 bash scripts/train_synth_flagship.sh 20 /tmp/synth_flagship
+# 9. graded scoreboard recapture LAST (warm cache; refresh the committed
+#    last-known-good lines in BASELINE.json["measured"] from this)
+step bench_all 6600 python bench.py
 
 echo "== window complete $(date +%H:%M:%S); logs in $LOG"

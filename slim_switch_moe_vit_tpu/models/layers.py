@@ -123,6 +123,15 @@ class LayerNorm(nn.Module):
                                 self.eps)
 
         u = x if residual is None else x + residual
+        if os.environ.get("SSMV_LN_SPLIT_STATS", "0") == "1":
+            # fusion-boundary experiment (VERDICT r4 #6, cfg1's
+            # fc2+residual+LN-stat seam at 3.62 vs 3.2 ms): XLA fuses the
+            # next LN's stat reduce INTO the fc2 GEMM fusion; a reduce
+            # epilogue can deoptimize the GEMM's tile loop. The barrier
+            # splits the graph at u: GEMM+add keep their fusion, the stats
+            # re-read u as their own fusion (+~0.03 ms HBM at cfg1 scale) —
+            # a win iff the unencumbered GEMM recovers more than that.
+            u = jax.lax.optimization_barrier(u)
         orig_dtype = u.dtype
         x32 = u.astype(jnp.float32)
         mean = jnp.mean(x32, axis=-1, keepdims=True)

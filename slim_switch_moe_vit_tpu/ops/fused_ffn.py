@@ -173,28 +173,48 @@ def _fwd_kernel(e_ref, x_ref, w1_ref, b1_ref, w2_ref, b2_ref, y_ref, *,
     y_ref[:] = y.astype(y_ref.dtype)
 
 
-def _fwd(xs, w1, b1, w2, b2, e_of_tile):
+def _fwd(xs, w1, b1, w2, b2, e_of_tile, tile_perm=None):
+    """``tile_perm``: optional (n_tiles,) int32 — grid step i reads row tile
+    ``tile_perm[i]`` of xs and writes row tile ``tile_perm[i]`` of y, while
+    ``e_of_tile[i]`` stays indexed by GRID STEP. Lets a caller whose rows are
+    interleaved (the a2a EP source-major layout) iterate expert-major without
+    materializing a transposed copy — the permutation rides the kernel's own
+    block DMA via scalar-prefetch index maps."""
     Tp, D = xs.shape
     E, _, H = w1.shape
     n_tiles = Tp // TILE_ROWS
+    if tile_perm is None:
+        row = pl.BlockSpec((TILE_ROWS, D), lambda i, e: (i, 0))
+        wmap = lambda i, e: (e[i], 0, 0)  # noqa: E731
+        scalars = (e_of_tile,)
+    else:
+        row = pl.BlockSpec((TILE_ROWS, D), lambda i, e, p: (p[i], 0))
+        wmap = lambda i, e, p: (e[i], 0, 0)  # noqa: E731
+        scalars = (e_of_tile, tile_perm)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+        num_scalar_prefetch=len(scalars),
         grid=(n_tiles,),
         in_specs=[
-            pl.BlockSpec((TILE_ROWS, D), lambda i, e: (i, 0)),
-            pl.BlockSpec((1, D, H), lambda i, e: (e[i], 0, 0)),
-            pl.BlockSpec((1, 1, H), lambda i, e: (e[i], 0, 0)),
-            pl.BlockSpec((1, H, D), lambda i, e: (e[i], 0, 0)),
-            pl.BlockSpec((1, 1, D), lambda i, e: (e[i], 0, 0)),
+            row,
+            pl.BlockSpec((1, D, H), wmap),
+            pl.BlockSpec((1, 1, H), wmap),
+            pl.BlockSpec((1, H, D), wmap),
+            pl.BlockSpec((1, 1, D), wmap),
         ],
-        out_specs=pl.BlockSpec((TILE_ROWS, D), lambda i, e: (i, 0)),
+        out_specs=row,
     )
+    kernel = functools.partial(_fwd_kernel, gelu=_gelu_fns(xs.dtype)[0])
+    if tile_perm is not None:
+        # the grid gets TWO scalar-prefetch refs; the kernel body only needs
+        # e_ref (the perm acts purely through the index maps)
+        base = kernel
+        kernel = lambda e_ref, p_ref, *rest: base(e_ref, *rest)  # noqa: E731
     return pl.pallas_call(
-        functools.partial(_fwd_kernel, gelu=_gelu_fns(xs.dtype)[0]),
+        kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((Tp, D), xs.dtype),
         interpret=_interpret(),
-    )(e_of_tile, xs, w1, b1[:, None], w2, b2[:, None])
+    )(*scalars, xs, w1, b1[:, None], w2, b2[:, None])
 
 
 # ---------------------------------------------------------------------------
@@ -352,7 +372,7 @@ def _bwd_kernel_defer(e_ref, f_ref, dy_ref, x_ref, w1_ref, b1_ref, w2_ref,
 
 
 def _bwd(dy, xs, w1, b1, w2, e_of_tile, dy_scale=None, tile=TILE_ROWS,
-         defer_dw=False):
+         defer_dw=False, tile_perm=None):
     """dx (as 2 half-hidden partials), dw1, db1, dw2, db2 in one pallas_call.
 
     Grid (2, n_tiles): the outer dim picks a hidden half, the inner streams
@@ -385,19 +405,32 @@ def _bwd(dy, xs, w1, b1, w2, e_of_tile, dy_scale=None, tile=TILE_ROWS,
                 "multiple experts; layout is only TILE_ROWS-aligned")
         e_of_tile = groups[:, 0]
     has_scale = dy_scale is not None
+    if tile_perm is not None:
+        # permuted rows: grid step i streams row tile tile_perm[i] of dy/xs
+        # and writes dx tile tile_perm[i]; e_of_tile stays grid-step-indexed
+        # (the a2a EP caller orders grid steps expert-major over interleaved
+        # source-major rows). Composes with neither defer_dw (its flags
+        # grid already uses 2 scalar slots) nor bigger tiles.
+        assert not defer_dw and tile == TILE_ROWS
     # f32 column vector (Tp, 1), block (tile, 1): the obvious
     # lane-major (1, 1, tile) bf16 block crashes the Mosaic compiler
     ws2d = (dy_scale.astype(jnp.float32)[:, None] if has_scale
             else jnp.zeros((8, 1), jnp.float32))
     # index maps take trailing *_ so the same specs serve the 1- and
-    # 2-scalar-prefetch (defer_dw) grids
-    ws_spec = (pl.BlockSpec((tile, 1), lambda hh, i, e, *_: (i, 0))
+    # 2-scalar-prefetch (defer_dw / tile_perm) grids; ``_row`` resolves the
+    # row-tile index through the permutation when one is given
+    if tile_perm is None:
+        _row = lambda i, *_: i  # noqa: E731
+    else:
+        _row = lambda i, p, *_: p[i]  # noqa: E731
+    ws_spec = (pl.BlockSpec((tile, 1), lambda hh, i, e, *s: (_row(i, *s), 0))
                if has_scale
                else pl.BlockSpec((8, 1), lambda hh, i, e, *_: (0, 0)))
-    row_d = pl.BlockSpec((1, tile, D), lambda hh, i, e, *_: (hh, i, 0))
+    row_d = pl.BlockSpec((1, tile, D),
+                         lambda hh, i, e, *s: (hh, _row(i, *s), 0))
     in_specs = [
-        pl.BlockSpec((tile, D), lambda hh, i, e, *_: (i, 0)),
-        pl.BlockSpec((tile, D), lambda hh, i, e, *_: (i, 0)),
+        pl.BlockSpec((tile, D), lambda hh, i, e, *s: (_row(i, *s), 0)),
+        pl.BlockSpec((tile, D), lambda hh, i, e, *s: (_row(i, *s), 0)),
         pl.BlockSpec((1, D, H2), lambda hh, i, e, *_: (e[i], 0, hh)),
         pl.BlockSpec((1, 1, H2), lambda hh, i, e, *_: (e[i], 0, hh)),
         pl.BlockSpec((1, H2, D), lambda hh, i, e, *_: (e[i], hh, 0)),
@@ -442,19 +475,25 @@ def _bwd(dy, xs, w1, b1, w2, e_of_tile, dy_scale=None, tile=TILE_ROWS,
           w2, ws2d)
         dx = dxp[0] + dxp[1]
         return dx, dw1, db1[:, 0], dw2, db2[0, :, 0]
+    scalars = ((e_of_tile,) if tile_perm is None
+               else (e_of_tile, tile_perm))
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+        num_scalar_prefetch=len(scalars),
         grid=(2, n_tiles),
         in_specs=in_specs,
         out_specs=out_specs,
     )
+    kernel = functools.partial(_bwd_kernel, gelu_pair=_gelu_pair_fn(xs.dtype),
+                               has_scale=has_scale)
+    if tile_perm is not None:
+        base = kernel
+        kernel = lambda e_ref, p_ref, *rest: base(e_ref, *rest)  # noqa: E731
     dxp, dw1, db1, dw2, db2 = pl.pallas_call(
-        functools.partial(_bwd_kernel, gelu_pair=_gelu_pair_fn(xs.dtype),
-                          has_scale=has_scale),
+        kernel,
         grid_spec=grid_spec,
         out_shape=out_shape,
         interpret=_interpret(),
-    )(e_of_tile, dy, xs, w1, b1[:, None], w2, ws2d)
+    )(*scalars, dy, xs, w1, b1[:, None], w2, ws2d)
     dx = dxp[0] + dxp[1]  # XLA fuses this add into the consumer
     return dx, dw1, db1[:, 0], dw2, db2[0, :, 0]
 
@@ -815,3 +854,47 @@ def _ffn_bwd(layout_rows, res, dy):
 
 
 _fused_expert_ffn_vjp.defvjp(_ffn_fwd, _ffn_bwd)
+
+
+# ---------------------------------------------------------------------------
+# permuted-rows variant: the a2a EP form's expert-major iteration over
+# source-major rows, without materializing a transposed copy
+# ---------------------------------------------------------------------------
+
+@jax.custom_vjp
+def fused_expert_ffn_permuted(xs, w1, b1, w2, b2, e_of_step, tile_perm):
+    """``fused_expert_ffn`` whose grid iterates row tiles in a caller-chosen
+    order (VERDICT r4 #8 — removes the a2a EP expert-major relayout).
+
+    Args:
+        xs: (Tp, D) rows in ANY tile-interleaved order (each TILE_ROWS tile
+            still single-expert).
+        e_of_step: (n_tiles,) int32 — owning expert of the tile visited at
+            GRID STEP i, i.e. of row tile ``tile_perm[i]``. Same-expert
+            steps must be consecutive (the dw accumulate/flush contract).
+        tile_perm: (n_tiles,) int32 permutation — grid step i reads row tile
+            ``tile_perm[i]`` and writes the SAME tile of y, so the output
+            keeps xs's row order. The permutation rides the kernel's block
+            DMA via scalar-prefetch index maps; no relayout copy exists in
+            either the forward or the backward.
+    """
+    return _fwd(xs, w1, b1, w2, b2, e_of_step, tile_perm=tile_perm)
+
+
+def _ffn_perm_fwd(xs, w1, b1, w2, b2, e_of_step, tile_perm):
+    y = _fwd(xs, w1, b1, w2, b2, e_of_step, tile_perm=tile_perm)
+    return y, (xs, w1, b1, w2, b2, e_of_step, tile_perm)
+
+
+def _ffn_perm_bwd(res, dy):
+    xs, w1, b1, w2, b2, e_of_step, tile_perm = res
+    dy = dy.astype(xs.dtype)
+    dx, dw1, db1, dw2, db2 = _bwd(dy, xs, w1, b1, w2, e_of_step,
+                                  tile_perm=tile_perm)
+    de = np.zeros(e_of_step.shape, dtype=jax.dtypes.float0)
+    dp = np.zeros(tile_perm.shape, dtype=jax.dtypes.float0)
+    return (dx, dw1.astype(w1.dtype), db1.astype(b1.dtype),
+            dw2.astype(w2.dtype), db2.astype(b2.dtype), de, dp)
+
+
+fused_expert_ffn_permuted.defvjp(_ffn_perm_fwd, _ffn_perm_bwd)

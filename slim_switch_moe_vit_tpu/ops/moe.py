@@ -318,6 +318,35 @@ def capacity_region_rows(capacity: int, tile: int) -> int:
     return ((capacity + 1 + tile - 1) // tile) * tile
 
 
+# Minimum T*k at which the 512-row dropless layout's fixed padding
+# (E * (LAYOUT_ROWS - TILE_ROWS) rows) has diluted enough for the faster
+# 512-row backward to win end-to-end (the per-row dw win is constant,
+# the padding cost is ~E*256/TK). Measured on v5e, r5 sweep
+# (scripts/bench_batch_scaling.py): b128 (TK=50k, +4.1% pad) 256 wins
+# 1538.1 vs 1534.1 img/s; see PARITY.md batch-scaling table for the
+# b256/b512 crossover that set this threshold.
+_LAYOUT_512_MIN_TK = 90_000
+
+
+def layout_rows_policy(tk: int, num_experts: int) -> int:
+    """Dropless layout alignment for ``tk = T * top_k`` dispatched rows.
+
+    ``SSMV_LAYOUT_ROWS={256,512}`` overrides (A/B knob); ``auto``/unset
+    applies the measured policy above. Resolved at trace time — a Python
+    int, never a tracer."""
+    from .fused_ffn import LAYOUT_ROWS, TILE_ROWS
+
+    env = os.environ.get("SSMV_LAYOUT_ROWS", "auto")
+    if env not in ("", "auto", "0"):
+        rows = int(env)
+        if rows not in (TILE_ROWS, LAYOUT_ROWS):
+            raise ValueError(
+                f"SSMV_LAYOUT_ROWS={rows} not in ({TILE_ROWS}, {LAYOUT_ROWS})")
+        return rows
+    del num_experts  # the threshold already prices E=8's fixed padding
+    return LAYOUT_ROWS if tk >= _LAYOUT_512_MIN_TK else TILE_ROWS
+
+
 def aligned_expert_layout(expert_idx: jnp.ndarray, num_experts: int,
                           tile: int = None, gate_w: jnp.ndarray = None,
                           weight_dtype=jnp.bfloat16,
@@ -547,16 +576,24 @@ def moe_forward_fused(x: jnp.ndarray, router_w, router_b, w1, b1, w2, b2, *,
     if capacity is None and capacity_factor is not None:
         capacity = compute_capacity(T, E, top_k, capacity_factor)
 
-    # TILE_ROWS-aligned groups. A LAYOUT_ROWS(512)-aligned variant was
-    # measured r3: the 512-row backward runs 7.7% faster per row (dw VMEM
-    # accumulates amortize) but the static padding grows E*(512-256) rows =
-    # +4.4%, which the forward kernel and every dispatch gather then pay —
-    # net ZERO end-to-end (84.2 vs 84.1 ms; scripts/bench_ffn_bwd_r3.py).
-    # To re-enable: tile=LAYOUT_ROWS here, repeat e_of_tile, and pass
-    # layout_rows=LAYOUT_ROWS to fused_expert_ffn.
+    # Layout tile: TILE_ROWS(256)-aligned groups by default. The
+    # LAYOUT_ROWS(512)-aligned layout runs the backward 7.7% faster per row
+    # (dw VMEM accumulates amortize, scripts/bench_ffn_bwd_r3.py) but costs
+    # E*(512-256) static padding rows that the forward and every dispatch
+    # gather then pay — a DILUTING fixed cost: +4.4% of rows at b128
+    # (net zero end-to-end, r3), half that at b256, etc. layout_rows_policy
+    # picks per T*k; SSMV_LAYOUT_ROWS={256,512} overrides for A/Bs.
+    layout_tile = (layout_rows_policy(T * top_k, E)
+                   if capacity is None and not _gather_in_kernel()
+                   else None)
     gather_idx, pair_slot, e_of_tile, w_slot, keep = aligned_expert_layout(
-        expert_idx, E, gate_w=gate_w, weight_dtype=x.dtype,
-        capacity=capacity)
+        expert_idx, E, tile=layout_tile, gate_w=gate_w,
+        weight_dtype=x.dtype, capacity=capacity)
+    from .fused_ffn import TILE_ROWS
+    if layout_tile is not None and layout_tile != TILE_ROWS:
+        # the fused FFN's e_of_tile contract is per-TILE_ROWS tiles; the
+        # coarser layout guarantee travels via layout_rows below
+        e_of_tile = jnp.repeat(e_of_tile, layout_tile // TILE_ROWS)
     gate_eff = (gate_w if capacity is None
                 else gate_w * keep.astype(gate_w.dtype))
     if _gather_in_kernel():
@@ -575,7 +612,8 @@ def moe_forward_fused(x: jnp.ndarray, router_w, router_b, w1, b1, w2, b2, *,
             xs = _dispatch_gather(x, gather_idx, pair_slot, keep)
         out = fused_expert_ffn(xs, w1.astype(x.dtype),
                                b1.astype(jnp.float32), w2.astype(x.dtype),
-                               b2.astype(jnp.float32), e_of_tile)
+                               b2.astype(jnp.float32), e_of_tile,
+                               layout_rows=layout_tile or TILE_ROWS)
     y = _combine_slots(out, pair_slot, gate_eff, gather_idx, w_slot)
     aux = {
         "balance_loss": load_balance_loss(logits, expert_idx, E),
@@ -751,21 +789,38 @@ def moe_forward_fused_ep_a2a(x: jnp.ndarray, router_w, router_b, w1, b1,
                                 concat_axis=0, tiled=True)
         # xr arrives SOURCE-chunk-major: (ep src blocks) x (E_local experts
         # x Cp rows). The fused FFN backward accumulates each expert's dw
-        # over a CONSECUTIVE tile run and flushes once (fused_ffn.py::_bwd),
-        # so interleaved expert regions would silently drop contributions —
-        # regroup expert-major first (a static relayout, ~0.1 ms at flagship
-        # scale; a scalar-prefetch row-permutation in the kernel's index
-        # maps could remove even that — see PARITY EP notes).
-        xr = xr.reshape(ep, E_local, Cp, d).transpose(1, 0, 2, 3)
-        xr = xr.reshape(ep * E_local * Cp, d)
-        e_of_tile = jnp.asarray(np.repeat(
-            np.arange(E_local, dtype=np.int32), ep * Cp // TILE_ROWS))
-        out = fused_expert_ffn(
-            xr, w1.astype(x.dtype), b1.astype(jnp.float32),
-            w2.astype(x.dtype), b2.astype(jnp.float32), e_of_tile)
-        # back to source-major for the return exchange
-        out = out.reshape(E_local, ep, Cp, d).transpose(1, 0, 2, 3)
-        out = out.reshape(ep * E_local * Cp, d)
+        # over a CONSECUTIVE grid-step run and flushes once
+        # (fused_ffn.py::_bwd), so the grid must iterate expert-major.
+        # Rather than relayouting the rows expert-major (r4: two transposes
+        # + their backward mirrors, ~0.1 ms/layer each at flagship scale),
+        # the permutation rides the kernel's scalar-prefetch index maps:
+        # grid step i touches row tile tile_perm[i] in place
+        # (fused_expert_ffn_permuted; VERDICT r4 #8). SSMV_A2A_RELAYOUT=1
+        # restores the relayout form for A/Bs.
+        n_per = Cp // TILE_ROWS  # tiles per (src, expert) region
+        e_of_step = jnp.asarray(np.repeat(
+            np.arange(E_local, dtype=np.int32), ep * n_per))
+        if os.environ.get("SSMV_A2A_RELAYOUT", "0") == "1":
+            xr = xr.reshape(ep, E_local, Cp, d).transpose(1, 0, 2, 3)
+            xr = xr.reshape(ep * E_local * Cp, d)
+            out = fused_expert_ffn(
+                xr, w1.astype(x.dtype), b1.astype(jnp.float32),
+                w2.astype(x.dtype), b2.astype(jnp.float32), e_of_step)
+            # back to source-major for the return exchange
+            out = out.reshape(E_local, ep, Cp, d).transpose(1, 0, 2, 3)
+            out = out.reshape(ep * E_local * Cp, d)
+        else:
+            from .fused_ffn import fused_expert_ffn_permuted
+
+            # grid step (e, src, t) -> source-major tile src*E_local*n_per
+            # + e*n_per + t; output tiles are written back in place, so
+            # ``out`` is already source-major for the return exchange
+            perm = jnp.asarray(
+                np.arange(ep * E_local * n_per, dtype=np.int32)
+                .reshape(ep, E_local, n_per).transpose(1, 0, 2).reshape(-1))
+            out = fused_expert_ffn_permuted(
+                xr, w1.astype(x.dtype), b1.astype(jnp.float32),
+                w2.astype(x.dtype), b2.astype(jnp.float32), e_of_step, perm)
         out_back = jax.lax.all_to_all(out, EXPERT_AXIS, split_axis=0,
                                       concat_axis=0, tiled=True)
         # out_back is back in my chunk's dest-major layout: combine my tokens

@@ -232,3 +232,50 @@ def test_paired_backward_auto_enables_and_matches(monkeypatch):
                                              "db2"]):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    atol=3e-5, rtol=1e-4, err_msg=name)
+
+
+def test_permuted_kernel_matches_relayout():
+    """fused_expert_ffn_permuted (VERDICT r4 #8): iterating interleaved rows
+    expert-major via scalar-prefetch index maps must equal relayouting the
+    rows expert-major and running the base kernel — outputs AND all grads,
+    with the permuted output back in the caller's (source-major) order."""
+    from slim_switch_moe_vit_tpu.ops.fused_ffn import (
+        TILE_ROWS, fused_expert_ffn, fused_expert_ffn_permuted,
+    )
+
+    rs = np.random.RandomState(7)
+    d, h, E = 32, 64, 3
+    src, n_per = 4, 2  # 4 source blocks x 3 experts x 2 tiles each
+    n_tiles = src * E * n_per
+    Tp = n_tiles * TILE_ROWS
+    _, _, w1, b1, w2, b2 = _params(rs, E, d, h)
+    xs = jnp.asarray(rs.randn(Tp, d), jnp.float32)  # source-major rows
+
+    # grid step (e, s, t) -> source-major tile s*E*n_per + e*n_per + t
+    perm = np.arange(n_tiles, dtype=np.int32).reshape(
+        src, E, n_per).transpose(1, 0, 2).reshape(-1)
+    e_of_step = np.repeat(np.arange(E, dtype=np.int32), src * n_per)
+
+    def loss_perm(xs, w1, b1, w2, b2):
+        y = fused_expert_ffn_permuted(xs, w1, b1, w2, b2,
+                                      jnp.asarray(e_of_step),
+                                      jnp.asarray(perm))
+        return jnp.sum(y * jnp.cos(jnp.arange(y.size).reshape(y.shape))), y
+
+    def loss_ref(xs, w1, b1, w2, b2):
+        # relayout expert-major, run the base kernel, relayout back
+        xr = xs.reshape(src, E, n_per * TILE_ROWS, d).transpose(1, 0, 2, 3)
+        xr = xr.reshape(Tp, d)
+        out = fused_expert_ffn(xr, w1, b1, w2, b2, jnp.asarray(e_of_step))
+        out = out.reshape(E, src, n_per * TILE_ROWS, d).transpose(1, 0, 2, 3)
+        y = out.reshape(Tp, d)
+        return jnp.sum(y * jnp.cos(jnp.arange(y.size).reshape(y.shape))), y
+
+    (lp, yp), gp = jax.value_and_grad(loss_perm, argnums=(0, 1, 2, 3, 4),
+                                      has_aux=True)(xs, w1, b1, w2, b2)
+    (lr_, yr), gr = jax.value_and_grad(loss_ref, argnums=(0, 1, 2, 3, 4),
+                                       has_aux=True)(xs, w1, b1, w2, b2)
+    np.testing.assert_allclose(np.asarray(yp), np.asarray(yr), atol=2e-5)
+    for a, b, name in zip(gp, gr, ["dx", "dw1", "db1", "dw2", "db2"]):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=3e-5, rtol=1e-4, err_msg=name)

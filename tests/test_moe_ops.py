@@ -306,3 +306,68 @@ def test_zero_token_expert():
         assert float(jnp.abs(jnp.asarray(a)[1]).max()) == 0.0, nm
         np.testing.assert_allclose(np.asarray(a), np.asarray(e), atol=5e-5,
                                    err_msg=nm)
+
+
+def test_layout_rows_policy_and_512_layout_parity(monkeypatch):
+    """layout_rows_policy (VERDICT r4 #3): env override + auto threshold,
+    and the 512-row dropless layout through moe_forward_fused must match the
+    256-row layout bit-for-bit in outputs AND grads (the e_of_tile repeat +
+    layout_rows plumbing at ops/moe.py::moe_forward_fused)."""
+    from slim_switch_moe_vit_tpu.ops import fused_ffn
+    from slim_switch_moe_vit_tpu.ops.fused_ffn import LAYOUT_ROWS, TILE_ROWS
+    from slim_switch_moe_vit_tpu.ops.moe import (
+        _LAYOUT_512_MIN_TK, layout_rows_policy,
+    )
+
+    # policy unit behavior
+    monkeypatch.delenv("SSMV_LAYOUT_ROWS", raising=False)
+    assert layout_rows_policy(_LAYOUT_512_MIN_TK - 1, 8) == TILE_ROWS
+    assert layout_rows_policy(_LAYOUT_512_MIN_TK, 8) == LAYOUT_ROWS
+    monkeypatch.setenv("SSMV_LAYOUT_ROWS", "512")
+    assert layout_rows_policy(1, 8) == LAYOUT_ROWS
+    monkeypatch.setenv("SSMV_LAYOUT_ROWS", "256")
+    assert layout_rows_policy(10**9, 8) == TILE_ROWS
+    monkeypatch.setenv("SSMV_LAYOUT_ROWS", "384")
+    with pytest.raises(ValueError):
+        layout_rows_policy(1, 8)
+
+    # end-to-end parity, with a spy proving each run took its claimed layout
+    p = _params(jax.random.PRNGKey(41), E=3)
+    x = jax.random.normal(jax.random.PRNGKey(42), (700, 16))
+    seen = []
+    real = fused_ffn.fused_expert_ffn
+
+    def spy(xs, w1, b1, w2, b2, e_of_tile, dy_scale=None,
+            layout_rows=TILE_ROWS):
+        seen.append((xs.shape[0], len(e_of_tile), layout_rows))
+        return real(xs, w1, b1, w2, b2, e_of_tile, dy_scale=dy_scale,
+                    layout_rows=layout_rows)
+
+    # moe_forward_fused imports the kernel lazily from fused_ffn — patch it
+    # at its home module
+    monkeypatch.setattr(fused_ffn, "fused_expert_ffn", spy)
+
+    def run(layout):
+        monkeypatch.setenv("SSMV_LAYOUT_ROWS", str(layout))
+
+        def loss(x, w1, b2):
+            y, _ = moe_ops.moe_forward_fused(
+                x, p["router_w"], p["router_b"], w1, p["b1"], p["w2"], b2,
+                top_k=2)
+            return jnp.sum(y ** 2), y
+
+        (_, y), g = jax.value_and_grad(loss, argnums=(0, 1, 2),
+                                       has_aux=True)(x, p["w1"], p["b2"])
+        return y, g
+
+    y256, g256 = run(256)
+    y512, g512 = run(512)
+    rows256, n_et256, lr256 = seen[0]
+    rows512, n_et512, lr512 = seen[-1]
+    assert lr256 == TILE_ROWS and lr512 == LAYOUT_ROWS
+    assert rows512 % LAYOUT_ROWS == 0 and n_et512 == rows512 // TILE_ROWS
+    assert rows512 >= rows256  # 512 layout pads more, never less
+    np.testing.assert_allclose(np.asarray(y512), np.asarray(y256), atol=2e-5)
+    for a, e, nm in zip(g512, g256, ("dx", "dw1", "db2")):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(e), atol=5e-5,
+                                   err_msg=nm)

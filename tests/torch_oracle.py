@@ -394,6 +394,67 @@ def make_optimizer(model: OracleResMoEViT, lr: float, gate_lr: float,
     ], lr=lr, betas=(0.9, 0.999), eps=1e-8)
 
 
+def soft_ce(logits, target):
+    """timm SoftTargetCrossEntropy (reference main.py:657 — the criterion
+    whenever mixup/cutmix is active; smoothing is folded into the targets)."""
+    return (-target * F.log_softmax(logits, dim=-1)).sum(dim=-1).mean()
+
+
+def train_losses_recipe(model: OracleResMoEViT, images: np.ndarray,
+                        soft_targets: np.ndarray, lrs, gate_lrs,
+                        threshold: float = 0.5, ema_decay: float = 0.99996,
+                        eval_images: np.ndarray = None,
+                        eval_labels: np.ndarray = None):
+    """Full cmd.sh recipe math (reference cmd.sh:7-13 + engine.py:22-85):
+    pre-augmented, pre-mixed batches (shared bit-exact with the JAX side via
+    the shared-batch protocol), SoftTargetCrossEntropy, per-epoch cosine LR
+    fed per step, timm-ModelEma update after each optimizer step.
+
+    ``images[s]``/``soft_targets[s]`` are the step-s batch; ``lrs``/
+    ``gate_lrs`` give each step's group LRs (cosine, epoch-granular).
+    Returns dict with the per-step loss curve and, when an eval batch is
+    given, final plain-CE eval losses for both the live and EMA weights.
+    """
+    opt = make_optimizer(model, lrs[0], gate_lrs[0])
+    # timm ModelEma semantics (reference main.py:597-607, engine.py:77-78):
+    # shadow of every float state entry, updated post-step
+    ema = {k: v.detach().clone() for k, v in model.state_dict().items()}
+    losses = []
+    for s in range(len(lrs)):
+        opt.param_groups[0]["lr"] = lrs[s]
+        opt.param_groups[1]["lr"] = lrs[s]
+        opt.param_groups[2]["lr"] = gate_lrs[s]
+        x = torch.from_numpy(images[s])
+        t = torch.from_numpy(soft_targets[s])
+        logits = model(x, threshold)
+        loss = soft_ce(logits, t)
+        opt.zero_grad()
+        loss.backward()
+        opt.step()
+        with torch.no_grad():
+            msd = model.state_dict()
+            for k in ema:
+                if ema[k].dtype.is_floating_point:
+                    ema[k].mul_(ema_decay).add_(msd[k], alpha=1 - ema_decay)
+                else:
+                    ema[k].copy_(msd[k])
+        losses.append(float(loss))
+    out = {"losses": losses}
+    if eval_images is not None:
+        with torch.no_grad():
+            x = torch.from_numpy(eval_images)
+            y = torch.from_numpy(eval_labels)
+            out["final_eval_loss"] = float(
+                F.cross_entropy(model(x, threshold), y))
+            backup = {k: v.detach().clone()
+                      for k, v in model.state_dict().items()}
+            model.load_state_dict(ema)
+            out["final_ema_eval_loss"] = float(
+                F.cross_entropy(model(x, threshold), y))
+            model.load_state_dict(backup)
+    return out
+
+
 def train_losses(model: OracleResMoEViT, images: np.ndarray,
                  labels: np.ndarray, steps: int, lr: float, gate_lr: float,
                  threshold: float = 0.5, smoothing: float = 0.1):
