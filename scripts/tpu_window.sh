@@ -22,10 +22,19 @@ step() {  # step NAME TIMEOUT_S CMD...
   fi
 }
 
-# 1. sanity: tiny fetch — abort the whole window if the tunnel is not real
-step sanity 120 python -c "
+# 1. sanity: tiny fetch — abort the whole window if the tunnel is not real.
+#    The tunnel FLAPS (r5: probes alternating ok/hung minutes apart), so try
+#    several times before giving up; sanity.done is removed first so every
+#    (re)entry re-checks liveness rather than trusting a stale marker.
+rm -f "$LOG/sanity.done"
+ok=0
+for i in 1 2 3 4 5; do
+  if step sanity 120 python -c "
 import jax, jax.numpy as jnp
-print(jax.devices()); print(float(jnp.ones((8,8)).sum()))" || exit 1
+print(jax.devices()); print(float(jnp.ones((8,8)).sum()))"; then ok=1; break; fi
+  rm -f "$LOG/sanity.done"; sleep 90
+done
+[[ $ok == 1 ]] || { echo "== tunnel dead after 5 probes; aborting"; exit 1; }
 
 # 2. batch-scaling sweep (VERDICT r4 #3): b128/b256/b512 x layout {256,512}
 #    -> sets/validates ops/moe.py::_LAYOUT_512_MIN_TK; died mid-run 18:18

@@ -291,6 +291,7 @@ def main(args):
                 warmup_lr=args.warmup_lr, min_lr=args.min_lr,
                 cooldown_epochs=args.cooldown_epochs,
                 decay_epochs=args.decay_epochs, decay_rate=args.decay_rate,
+                patience_epochs=args.patience_epochs,
                 noise_range=args.lr_noise, noise_pct=args.lr_noise_pct,
                 noise_std=args.lr_noise_std, noise_seed=args.seed,
             )
@@ -383,6 +384,12 @@ def main(args):
                 print(f"Accuracy of the network on the "
                       f"{len(task_dataset_val)} test images for this task: "
                       f"{task_test_stats['acc1']:.1f}%")
+                if hasattr(sched, "observe"):
+                    # plateau: feed the epoch's eval metric (acc1) the way
+                    # timm's train loop does — the reference driver itself
+                    # steps without a metric and would crash (see
+                    # optim.TimmPlateauSchedule)
+                    sched.observe(epoch_in_task, test_stats["acc1"])
 
                 if writer:
                     writer.log_task_test_acc(task_test_stats["acc1"], epoch)

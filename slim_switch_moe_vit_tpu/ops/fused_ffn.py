@@ -866,6 +866,13 @@ def fused_expert_ffn_permuted(xs, w1, b1, w2, b2, e_of_step, tile_perm):
     """``fused_expert_ffn`` whose grid iterates row tiles in a caller-chosen
     order (VERDICT r4 #8 — removes the a2a EP expert-major relayout).
 
+    STATUS: numerically exact but MEASURED 123x SLOWER than
+    relayout-then-base-kernel on real Mosaic (554.9 vs 4.5 ms/iter fwd+bwd,
+    49k rows, v5e r5, ``scripts/check_perm_ffn_tpu.py``) — the
+    data-dependent block index maps defeat DMA prefetch, serializing tiles.
+    Kept with parity tests as an experiment ledger; the a2a EP path uses the
+    relayout form unless ``SSMV_A2A_PERMUTED=1``.
+
     Args:
         xs: (Tp, D) rows in ANY tile-interleaved order (each TILE_ROWS tile
             still single-expert).

@@ -790,17 +790,20 @@ def moe_forward_fused_ep_a2a(x: jnp.ndarray, router_w, router_b, w1, b1,
         # xr arrives SOURCE-chunk-major: (ep src blocks) x (E_local experts
         # x Cp rows). The fused FFN backward accumulates each expert's dw
         # over a CONSECUTIVE grid-step run and flushes once
-        # (fused_ffn.py::_bwd), so the grid must iterate expert-major.
-        # Rather than relayouting the rows expert-major (r4: two transposes
-        # + their backward mirrors, ~0.1 ms/layer each at flagship scale),
-        # the permutation rides the kernel's scalar-prefetch index maps:
-        # grid step i touches row tile tile_perm[i] in place
-        # (fused_expert_ffn_permuted; VERDICT r4 #8). SSMV_A2A_RELAYOUT=1
-        # restores the relayout form for A/Bs.
+        # (fused_ffn.py::_bwd), so the grid must iterate expert-major —
+        # hence the expert-major relayout (two transposes + their backward
+        # mirrors). A scalar-prefetch row-permutation in the kernel's index
+        # maps (fused_expert_ffn_permuted) removes the relayout copies and
+        # is numerically exact, but MEASURED 123x SLOWER on real Mosaic
+        # (554.9 vs 4.5 ms/iter fwd+bwd at 49k rows, v5e r5,
+        # scripts/check_perm_ffn_tpu.py) — the data-dependent block index
+        # maps defeat the pipeline's DMA prefetch, serializing every tile.
+        # Kept as SSMV_A2A_PERMUTED=1 with parity tests; do not enable for
+        # perf without new toolchain evidence (VERDICT r4 #8: settled).
         n_per = Cp // TILE_ROWS  # tiles per (src, expert) region
         e_of_step = jnp.asarray(np.repeat(
             np.arange(E_local, dtype=np.int32), ep * n_per))
-        if os.environ.get("SSMV_A2A_RELAYOUT", "0") == "1":
+        if os.environ.get("SSMV_A2A_PERMUTED", "0") != "1":
             xr = xr.reshape(ep, E_local, Cp, d).transpose(1, 0, 2, 3)
             xr = xr.reshape(ep * E_local * Cp, d)
             out = fused_expert_ffn(
@@ -809,7 +812,7 @@ def moe_forward_fused_ep_a2a(x: jnp.ndarray, router_w, router_b, w1, b1,
             # back to source-major for the return exchange
             out = out.reshape(E_local, ep, Cp, d).transpose(1, 0, 2, 3)
             out = out.reshape(ep * E_local * Cp, d)
-        else:
+        else:  # SSMV_A2A_PERMUTED=1 — measured-slower experiment, see above
             from .fused_ffn import fused_expert_ffn_permuted
 
             # grid step (e, src, t) -> source-major tile src*E_local*n_per

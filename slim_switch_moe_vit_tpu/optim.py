@@ -173,13 +173,92 @@ class TimmStepSchedule:
         return lr * (1.0 + self._noise_helper._noise(epoch))
 
 
-SUPPORTED_SCHEDULERS = ("cosine", "step")
+class TimmPlateauSchedule:
+    """``--sched plateau``: timm PlateauLRScheduler semantics — a thin wrapper
+    around ``torch.optim.lr_scheduler.ReduceLROnPlateau`` (mode inferred from
+    the eval metric; accuracy -> 'max') with timm's linear warmup on top.
+    Parity-tested against torch's ReduceLROnPlateau itself
+    (tests/test_optim_extras.py), since torch is the authoritative
+    implementation timm defers to.
+
+    NOTE the reference driver cannot actually run plateau: it steps the
+    scheduler without a metric (``/root/reference/main.py:886``
+    ``lr_scheduler.step(epoch)``), and torch's ReduceLROnPlateau then raises
+    on ``float(None)``. Implemented here are the INTENDED semantics — the way
+    timm's own train loop drives it, feeding the epoch's eval metric — via
+    ``observe(metric)`` called after each epoch's eval (main.py). lr-noise is
+    not supported with plateau (timm applies/restores it around the torch
+    state in a way that cannot be reproduced without torch's internals;
+    passing ``--lr-noise`` with plateau raises up front).
+
+    torch-parity points (ReduceLROnPlateau defaults): relative improvement
+    threshold 1e-4 — for mode 'max' an epoch improves iff
+    ``metric > best * (1 + 1e-4)`` — patience counted in *bad* epochs, decay
+    ``lr *= decay_rate`` floored at ``min_lr``, cooldown 0.
+    """
+
+    def __init__(self, base_lr: float, epochs: int, *, decay_rate: float = 0.1,
+                 patience_epochs: int = 10, warmup_epochs: int = 5,
+                 warmup_lr: float = 1e-6, min_lr: float = 1e-5,
+                 mode: str = "max", threshold: float = 1e-4,
+                 eps: float = 1e-8):
+        self.base_lr = base_lr
+        self.epochs = epochs
+        self.decay_rate = decay_rate
+        self.patience = patience_epochs
+        self.warmup_epochs = warmup_epochs
+        self.warmup_lr = warmup_lr
+        self.min_lr = min_lr
+        self.mode = mode
+        self.threshold = threshold
+        self.eps = eps
+        self.current_lr = base_lr
+        self.best = -math.inf if mode == "max" else math.inf
+        self.num_bad = 0
+
+    def _is_better(self, metric: float) -> bool:
+        # torch ReduceLROnPlateau.is_better, threshold_mode='rel'
+        if self.mode == "max":
+            return metric > self.best * (1.0 + self.threshold)
+        return metric < self.best * (1.0 - self.threshold)
+
+    def observe(self, epoch: int, metric: float) -> None:
+        """Feed epoch's eval metric (timm train loop:
+        ``lr_scheduler.step(epoch + 1, eval_metric)``). No-op during warmup,
+        mirroring timm's PlateauLRScheduler.step warmup branch."""
+        if self.warmup_epochs > 0 and epoch < self.warmup_epochs:
+            return
+        if self._is_better(metric):
+            self.best = metric
+            self.num_bad = 0
+        else:
+            self.num_bad += 1
+        if self.num_bad > self.patience:
+            # torch _reduce_lr: floor at min_lr, skip sub-eps updates (so the
+            # lr can never INCREASE toward min_lr, and tiny lrs stop moving)
+            new_lr = max(self.current_lr * self.decay_rate, self.min_lr)
+            if self.current_lr - new_lr > self.eps:
+                self.current_lr = new_lr
+            self.num_bad = 0
+
+    def scale(self, epoch: int) -> float:
+        return self(epoch) / self.base_lr if self.base_lr > 0 else 0.0
+
+    def __call__(self, epoch: int) -> float:
+        if self.warmup_epochs > 0 and epoch < self.warmup_epochs:
+            slope = (self.base_lr - self.warmup_lr) / self.warmup_epochs
+            return self.warmup_lr + slope * epoch
+        return self.current_lr
+
+
+SUPPORTED_SCHEDULERS = ("cosine", "step", "plateau")
 
 
 def create_scheduler(sched: str, base_lr: float, epochs: int, *,
                      warmup_epochs: int = 5, warmup_lr: float = 1e-6,
                      min_lr: float = 1e-5, cooldown_epochs: int = 10,
                      decay_epochs: float = 30, decay_rate: float = 0.1,
+                     patience_epochs: int = 10,
                      noise_range=None, noise_pct: float = 0.67,
                      noise_std: float = 1.0, noise_seed: int = 42):
     """timm ``create_scheduler`` parity for the CLI surface this framework
@@ -197,6 +276,15 @@ def create_scheduler(sched: str, base_lr: float, epochs: int, *,
             warmup_epochs=warmup_epochs, warmup_lr=warmup_lr,
             noise_range=noise_range, noise_pct=noise_pct, noise_std=noise_std,
             noise_seed=noise_seed)
+    if sched == "plateau":
+        if noise_range:
+            raise ValueError(
+                "--lr-noise is not supported with --sched plateau (see "
+                "TimmPlateauSchedule docstring)")
+        return TimmPlateauSchedule(
+            base_lr, epochs, decay_rate=decay_rate,
+            patience_epochs=patience_epochs, warmup_epochs=warmup_epochs,
+            warmup_lr=warmup_lr, min_lr=min_lr)
     raise ValueError(
         f"--sched {sched!r} is not implemented; supported: "
         f"{SUPPORTED_SCHEDULERS} (see PARITY.md 2.1 — this framework refuses "

@@ -78,3 +78,30 @@ def test_fused_optimizer_e2e_matches_optax(tmp_path, capsys):
     e1 = np.asarray(c1["ema_params"]["head"]["kernel"])
     e2 = np.asarray(c2["ema_params"]["head"]["kernel"])
     np.testing.assert_allclose(e2, e1, atol=2e-6, rtol=1e-5)
+
+
+def test_plateau_schedule_trains_e2e_and_decays(tmp_path, capsys):
+    """--sched plateau through main(): trains, feeds each epoch's eval acc1
+    into the scheduler, and with patience 0 + a constant-accuracy SYNTH eval
+    the lr decays every post-warmup epoch (visible in the per-epoch lr the
+    engine logs)."""
+    args = _args(tmp_path / "out", [
+        "--epochs", "3", "--sched", "plateau",
+        "--patience-epochs", "0", "--decay-rate", "0.5",
+        "--lr", "0.008", "--unscale-lr", "--min-lr", "1e-5",
+    ])
+    args.synth_size = 32
+    main(args)
+    out = capsys.readouterr().out
+    assert "Epoch: [2]" in out
+    # per-epoch lr from the reference-format log.txt JSON lines: epoch 0
+    # trains at base lr; epoch 1 keeps base (the first observe only seeds
+    # "best"); epoch 2 decays — SYNTH eval accuracy is deterministic at this
+    # seed and does not improve, so patience 0 fires on the second observe
+    import json
+
+    lrs = [json.loads(l)["train_lr"]
+           for l in (tmp_path / "out" / "log.txt").read_text().splitlines()
+           if l.strip()]
+    assert lrs[0] == 0.008 and lrs[1] == 0.008
+    assert min(lrs) <= 0.004 + 1e-12  # at least one plateau decay fired

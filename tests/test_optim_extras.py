@@ -297,3 +297,57 @@ def test_sgd_trains_e2e_one_step():
     moved = float(jnp.abs(
         new_state.params["head"]["kernel"] - state.params["head"]["kernel"]).sum())
     assert moved > 0
+
+
+def test_plateau_schedule_matches_torch_reduce_on_plateau():
+    """TimmPlateauSchedule vs torch.optim.lr_scheduler.ReduceLROnPlateau —
+    the authoritative implementation timm's PlateauLRScheduler wraps. Drives
+    both with the same noisy accuracy trajectory (improvements, plateaus, a
+    dip, a late recovery) and asserts identical post-warmup lr sequences,
+    including the min_lr floor after repeated decays."""
+    import torch
+
+    base_lr, min_lr, patience, factor = 0.4, 0.004, 2, 0.1
+    metrics = [10.0, 11.0, 11.0005, 11.0005, 11.0005, 12.0, 11.0, 11.5,
+               11.9, 11.99, 12.5, 12.5, 12.5, 12.5, 12.5, 12.5, 12.5, 13.0]
+
+    p = torch.nn.Parameter(torch.zeros(1))
+    opt = torch.optim.SGD([p], lr=base_lr)
+    ref = torch.optim.lr_scheduler.ReduceLROnPlateau(
+        opt, mode="max", factor=factor, patience=patience, min_lr=min_lr)
+    sched = optim.TimmPlateauSchedule(
+        base_lr, epochs=len(metrics), decay_rate=factor,
+        patience_epochs=patience, warmup_epochs=0, min_lr=min_lr)
+
+    ours, torchs = [], []
+    for epoch, m in enumerate(metrics):
+        ours.append(sched(epoch))
+        torchs.append(opt.param_groups[0]["lr"])
+        sched.observe(epoch, m)
+        ref.step(m)
+    np.testing.assert_allclose(ours, torchs, rtol=1e-12)
+    # the floor was reached (same fp rounding as torch: 0.4*0.1*0.1 = 0.004…1)
+    np.testing.assert_allclose(min(ours), min_lr, rtol=1e-12)
+
+
+def test_plateau_schedule_warmup_and_cli_wiring():
+    """Warmup ramp matches the cosine/step schedulers' ramp; observe() is a
+    no-op during warmup (timm's step warmup branch); create_scheduler wires
+    --patience-epochs/--decay-rate and refuses --lr-noise with plateau."""
+    import pytest
+
+    sched = optim.create_scheduler(
+        "plateau", base_lr=0.1, epochs=20, warmup_epochs=3, warmup_lr=1e-6,
+        min_lr=1e-4, decay_rate=0.5, patience_epochs=0)
+    ramp = [sched(e) for e in range(3)]
+    cos = optim.TimmCosineSchedule(0.1, 20, warmup_epochs=3, warmup_lr=1e-6)
+    np.testing.assert_allclose(ramp, [cos(e) for e in range(3)])
+    sched.observe(0, 50.0)  # warmup: ignored
+    sched.observe(1, 10.0)
+    assert sched(3) == 0.1  # untouched by warmup-time metrics
+    sched.observe(3, 50.0)  # post-warmup best
+    sched.observe(4, 10.0)  # bad epoch > patience 0 -> decay
+    assert sched(5) == 0.05
+    with pytest.raises(ValueError, match="lr-noise"):
+        optim.create_scheduler("plateau", base_lr=0.1, epochs=10,
+                               noise_range=[0.5])
