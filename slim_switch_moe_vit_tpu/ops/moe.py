@@ -321,11 +321,14 @@ def capacity_region_rows(capacity: int, tile: int) -> int:
 # Minimum T*k at which the 512-row dropless layout's fixed padding
 # (E * (LAYOUT_ROWS - TILE_ROWS) rows) has diluted enough for the faster
 # 512-row backward to win end-to-end (the per-row dw win is constant,
-# the padding cost is ~E*256/TK). Measured on v5e, r5 sweep
-# (scripts/bench_batch_scaling.py): b128 (TK=50k, +4.1% pad) 256 wins
-# 1538.1 vs 1534.1 img/s; see PARITY.md batch-scaling table for the
-# b256/b512 crossover that set this threshold.
-_LAYOUT_512_MIN_TK = 90_000
+# the padding cost is ~E*256/TK). Measured on v5e (r5 sweep,
+# scripts/bench_batch_scaling.py, ViT-S/16 Switch-8E 224px bf16):
+# b128 TK=50,432: 256 wins 1539.9 vs 1534.8 img/s (-0.33% for 512)
+# b256 TK=100,864: 256 wins 1453.3 vs 1436.6 (-1.15%)
+# b512 TK=201,728: 512 wins 1361.8 vs 1348.2 (+1.00%)
+# -> crossover between b256 and b512; threshold set mid-gap. Full table in
+# PARITY.md "batch scaling".
+_LAYOUT_512_MIN_TK = 150_000
 
 
 def layout_rows_policy(tk: int, num_experts: int) -> int:

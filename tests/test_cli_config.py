@@ -94,9 +94,9 @@ def test_unsupported_opt_fails_loudly_in_main():
 
     from slim_switch_moe_vit_tpu.main import main
 
-    a = _parse(["--opt", "lamb"])
-    with pytest.raises(ValueError, match="--opt 'lamb'"):
+    a = _parse(["--opt", "adabelief"])
+    with pytest.raises(ValueError, match="--opt 'adabelief'"):
         main(a)
-    a = _parse(["--sched", "plateau"])
-    with pytest.raises(ValueError, match="--sched 'plateau'"):
+    a = _parse(["--sched", "tanh"])
+    with pytest.raises(ValueError, match="--sched 'tanh'"):
         main(a)
