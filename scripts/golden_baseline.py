@@ -572,9 +572,12 @@ def main():
               f"max {r['max_rel_diff']:.3f}, mean {r['mean_rel_diff']:.3f}")
 
     if "recipe" in todo:
-        print("[recipe] full cmd.sh recipe math, 300 steps "
+        # 200 steps matches the resmoe golden's convention; the recipe math
+        # (aug statistics, soft targets, cosine, EMA trajectory) is fully
+        # exercised well before that on this tiny config
+        print("[recipe] full cmd.sh recipe math, 200 steps "
               "(aug+mixup shared-batch protocol, cosine, EMA)")
-        golden["recipe_full"] = r = _run_recipe(steps=300)
+        golden["recipe_full"] = r = _run_recipe(steps=200)
         print(f"  drift: step0 {r['step0_rel_diff']:.2e}, "
               f"max {r['max_rel_diff']:.3f}, mean {r['mean_rel_diff']:.3f}; "
               f"eval jax/torch {r['final_eval_loss']}, "

@@ -37,7 +37,8 @@ from .models.gates import apply_epoch_anneal, build_anneal_plan, disable_all
 from .parallel import batch_sharding, make_mesh, shard_params
 from .train_state import TrainState, create_train_state, param_count
 from .utils.checkpoint import (
-    import_torch_checkpoint, restore_checkpoint, save_checkpoint,
+    import_torch_checkpoint, load_checkpoint_sched, restore_checkpoint,
+    save_checkpoint,
 )
 from .utils.logging import TensorboardTracker, append_log_stats
 from .utils.memory import RehearsalMemory
@@ -295,6 +296,15 @@ def main(args):
                 noise_range=args.lr_noise, noise_pct=args.lr_noise_pct,
                 noise_std=args.lr_noise_std, noise_seed=args.seed,
             )
+            if args.resume and task_idx == 0 and hasattr(sched,
+                                                         "load_state_dict"):
+                # plateau is stateful (best/num_bad/current_lr); restore its
+                # sidecar like the reference restores lr_scheduler state
+                # (reference main.py:714-718)
+                sched_state = load_checkpoint_sched(args.resume)
+                if sched_state is not None:
+                    sched.load_state_dict(sched_state)
+                    print(f"Resumed scheduler state: {sched_state}")
 
             current_task_end = (nb_classes * (task_idx + 1)) // args.num_tasks
             task_nb = current_task_end - last_task_end
@@ -368,8 +378,13 @@ def main(args):
                     # reference saves args with every checkpoint
                     # (main.py:898-906) so a resumed run can reconstruct its
                     # config
+                    extra = {"args": vars(args)}
+                    if hasattr(sched, "state_dict"):
+                        # plateau bookkeeping survives resume (the reference
+                        # checkpoints lr_scheduler.state_dict(), main.py:900)
+                        extra["sched"] = sched.state_dict()
                     save_checkpoint(str(output_dir / "checkpoint"), state,
-                                    epoch, extra={"args": vars(args)},
+                                    epoch, extra=extra,
                                     is_main=is_main_process(),
                                     use_async=args.async_checkpoint)
 
@@ -390,6 +405,15 @@ def main(args):
                     # steps without a metric and would crash (see
                     # optim.TimmPlateauSchedule)
                     sched.observe(epoch_in_task, test_stats["acc1"])
+                    if output_dir and is_main_process():
+                        # the sidecar written by save_checkpoint predates
+                        # this epoch's observe (eval runs after the save);
+                        # rewrite it so a resume continues the exact
+                        # uninterrupted lr trajectory
+                        import json
+                        sidecar = str(output_dir / "checkpoint.sched.json")
+                        with open(sidecar, "w") as f:
+                            json.dump(sched.state_dict(), f, indent=2)
 
                 if writer:
                     writer.log_task_test_acc(task_test_stats["acc1"], epoch)

@@ -250,6 +250,19 @@ class TimmPlateauSchedule:
             return self.warmup_lr + slope * epoch
         return self.current_lr
 
+    # Unlike cosine/step, plateau is STATEFUL — the reference checkpoints
+    # lr_scheduler.state_dict() (main.py:900) so a resumed run keeps its
+    # decay bookkeeping. Same here via a JSON sidecar
+    # (utils/checkpoint.py::save_checkpoint extra={"sched": ...}).
+    def state_dict(self) -> dict:
+        return {"current_lr": self.current_lr, "best": self.best,
+                "num_bad": self.num_bad}
+
+    def load_state_dict(self, st: dict) -> None:
+        self.current_lr = float(st["current_lr"])
+        self.best = float(st["best"])
+        self.num_bad = int(st["num_bad"])
+
 
 SUPPORTED_SCHEDULERS = ("cosine", "step", "plateau")
 

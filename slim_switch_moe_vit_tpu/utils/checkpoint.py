@@ -83,6 +83,10 @@ def save_checkpoint(path: str, state, epoch: int, extra: typ.Optional[dict] = No
     }
     extra = dict(extra) if extra else {}
     args_record = extra.pop("args", None)
+    # scheduler bookkeeping (plateau's best/num_bad/current_lr — the
+    # reference checkpoints lr_scheduler.state_dict(), main.py:900): plain
+    # scalars, lands in its own JSON sidecar like the args record
+    sched_record = extra.pop("sched", None)
     if extra:
         payload["extra"] = extra
     path = os.path.abspath(path)
@@ -90,11 +94,14 @@ def save_checkpoint(path: str, state, epoch: int, extra: typ.Optional[dict] = No
         _async_ckptr().save(path, payload, force=True)
     else:
         _ckptr().save(path, payload, force=True)
-    if args_record is not None:
-        import json
+    import json
 
+    if args_record is not None:
         with open(path + ".args.json", "w") as f:
             json.dump(args_record, f, indent=2, default=str)
+    if sched_record is not None:
+        with open(path + ".sched.json", "w") as f:
+            json.dump(sched_record, f, indent=2)
 
 
 def load_checkpoint_args(path: str) -> typ.Optional[dict]:
@@ -102,6 +109,19 @@ def load_checkpoint_args(path: str) -> typ.Optional[dict]:
     import json
 
     sidecar = os.path.abspath(path) + ".args.json"
+    if not os.path.exists(sidecar):
+        return None
+    with open(sidecar) as f:
+        return json.load(f)
+
+
+def load_checkpoint_sched(path: str) -> typ.Optional[dict]:
+    """Read the scheduler state saved next to a checkpoint, if present
+    (plateau bookkeeping; reference parity for lr_scheduler.state_dict()
+    restore, reference main.py:714-718)."""
+    import json
+
+    sidecar = os.path.abspath(path) + ".sched.json"
     if not os.path.exists(sidecar):
         return None
     with open(sidecar) as f:

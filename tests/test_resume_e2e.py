@@ -107,3 +107,43 @@ def test_compilation_cache_flag_populates_cache(tmp_path, capsys):
     capsys.readouterr()
     entries = os.listdir(str(cache_dir))
     assert entries, "compilation cache dir is empty — flag not wired"
+
+
+def test_plateau_state_survives_resume(tmp_path, capsys):
+    """Plateau is STATEFUL (best/num_bad/current_lr) — the reference
+    checkpoints lr_scheduler.state_dict() (main.py:900,714-718). A resumed
+    plateau run must continue from the DECAYED lr, not reset to base."""
+    import json
+
+    out_dir = tmp_path / "out"
+    plateau = ["--sched", "plateau", "--patience-epochs", "0",
+               "--decay-rate", "0.5", "--lr", "0.008", "--unscale-lr",
+               "--min-lr", "1e-5"]
+
+    args = _args(out_dir, ["--epochs", "3"] + plateau)
+    args.synth_size = 32
+    main(args)
+    capsys.readouterr()
+    sidecar = json.load(open(out_dir / "checkpoint.sched.json"))
+    lrs = [json.loads(l)["train_lr"]
+           for l in (out_dir / "log.txt").read_text().splitlines()
+           if l.strip()]
+    assert min(lrs) <= 0.004 + 1e-12  # at least one decay happened pre-resume
+    # the sidecar is rewritten AFTER the final epoch's observe, so it holds
+    # the lr the NEXT epoch would train at (<= the last trained lr)
+    assert sidecar["current_lr"] <= min(lrs) + 1e-15
+
+    args = _args(out_dir, ["--epochs", "5",
+                           "--resume", str(out_dir / "checkpoint")] + plateau)
+    args.synth_size = 32
+    main(args)
+    second = capsys.readouterr().out
+    assert "Resumed scheduler state" in second
+    lrs2 = [json.loads(l)["train_lr"]
+            for l in (out_dir / "log.txt").read_text().splitlines()
+            if l.strip()]
+    resumed = lrs2[3:]  # epochs 3,4 of the resumed run
+    assert resumed, lrs2
+    # every resumed epoch trains at or below the pre-resume decayed lr —
+    # the bookkeeping was restored, not reset to base 0.008
+    assert all(lr <= sidecar["current_lr"] + 1e-15 for lr in resumed), lrs2
