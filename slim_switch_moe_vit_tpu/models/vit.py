@@ -183,6 +183,11 @@ class VisionTransformer(nn.Module):
     num_heads: int = 12
     mlp_ratio: float = 4.0
     qkv_bias: bool = True
+    # Pre-logits (representation) layer: Dense(embed_dim -> size) + tanh on
+    # the class token before the head (reference:
+    # ``models/vision_transformer.py:744-755,833``). Only the in21k
+    # large-p32 / huge checkpoints carry it; ignored when ``distilled``.
+    representation_size: typ.Optional[int] = None
     distilled: bool = False
     drop_rate: float = 0.0
     attn_drop_rate: float = 0.0
@@ -260,6 +265,10 @@ class VisionTransformer(nn.Module):
             blocks.append(Block(mlp_factory=factory, **block_kwargs))
         self.blocks = blocks
         self.norm = LayerNorm(name="norm", impl=self.ln_impl)
+        if self.representation_size and not self.distilled:
+            self.pre_logits = Dense(
+                self.representation_size, dtype=jnp.float32, name="pre_logits"
+            )
         if self.num_classes > 0:
             self.head = Dense(self.num_classes, dtype=jnp.float32, name="head")
             if self.distilled:
@@ -304,9 +313,9 @@ class VisionTransformer(nn.Module):
         if train is not None:
             deterministic = not train
         x = self.forward_features(x, deterministic=deterministic)
-        if self.num_classes == 0:
-            return x[:, 0]
         if self.distilled:
+            if self.num_classes == 0:
+                return x[:, 0]
             logits = self.head(x[:, 0].astype(jnp.float32))
             logits_dist = self.head_dist(x[:, 1].astype(jnp.float32))
             if not deterministic:
@@ -314,7 +323,12 @@ class VisionTransformer(nn.Module):
                 return logits, logits_dist
             # Eval: average of both classifiers (reference: models/model.py:76-77).
             return (logits + logits_dist) / 2.0
-        return self.head(x[:, 0].astype(jnp.float32))
+        feat = x[:, 0].astype(jnp.float32)
+        if self.representation_size:
+            feat = jnp.tanh(self.pre_logits(feat))
+        if self.num_classes == 0:
+            return feat
+        return self.head(feat)
 
 
 def resize_pos_embed(pos_embed, num_extra_tokens: int, new_grid: int):

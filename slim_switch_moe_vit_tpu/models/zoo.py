@@ -93,14 +93,16 @@ def deit_base_distilled_patch16_384(pretrained=False, **kwargs):
 
 # ---------------------------------------------------------------------------
 # timm-compat classic ViT registrations (reference:
-# models/vision_transformer.py:1083-1490). The reference registers ~30 timm
-# variants; its training surface never instantiates them, but the names are
-# part of its model registry. The subsets below are every variant whose
-# architecture this backbone expresses AND whose checkpoints the
-# utils/checkpoint.py importers can load (.npz flax / torch .pth). The
-# remaining registrations (hybrid ResNet stems, SAM/DINO URL aliases) are
-# struck from scope: they depend on timm internals + pretrained URLs that are
-# unreachable here — documented divergence, see PARITY.md 2.4.
+# models/vision_transformer.py:1083-1490). The reference registers 32 names
+# in vision_transformer.py; its training surface never instantiates them, but
+# the names are part of its model registry. All 32 are registered below
+# (plus a few expressible extras: patch8, huge-224, 384px deit): the
+# 1k variants, the 8 ``*_in21k`` variants (num_classes 21843; large-p32 and
+# huge carry the pre-logits representation layer,
+# vision_transformer.py:1305-1355), and the 2 ``*_miil`` variants
+# (qkv_bias=False, vision_transformer.py:1465-1490). ``pretrained`` URLs are
+# unreachable here; checkpoints load via the utils/checkpoint.py importers
+# (.npz flax / torch .pth), which handle the pre-logits tensors.
 # ---------------------------------------------------------------------------
 
 def _register_timm_vits():
@@ -127,14 +129,44 @@ def _register_timm_vits():
                                       img=384),
         "vit_huge_patch14_224": dict(patch_size=14, embed_dim=1280,
                                      num_heads=16, depth=32),
+        # imagenet-21k heads (vision_transformer.py:1239-1355): default 21843
+        # classes; the large-p32 / huge checkpoints keep the pre-logits layer.
+        "vit_tiny_patch16_224_in21k": dict(embed_dim=192, num_heads=3,
+                                           classes=21843),
+        "vit_small_patch32_224_in21k": dict(patch_size=32, embed_dim=384,
+                                            num_heads=6, classes=21843),
+        "vit_small_patch16_224_in21k": dict(embed_dim=384, num_heads=6,
+                                            classes=21843),
+        "vit_base_patch32_224_in21k": dict(patch_size=32, embed_dim=768,
+                                           num_heads=12, classes=21843),
+        "vit_base_patch16_224_in21k": dict(embed_dim=768, num_heads=12,
+                                           classes=21843),
+        "vit_large_patch32_224_in21k": dict(patch_size=32, embed_dim=1024,
+                                            num_heads=16, depth=24,
+                                            representation_size=1024,
+                                            classes=21843),
+        "vit_large_patch16_224_in21k": dict(embed_dim=1024, num_heads=16,
+                                            depth=24, classes=21843),
+        "vit_huge_patch14_224_in21k": dict(patch_size=14, embed_dim=1280,
+                                           num_heads=16, depth=32,
+                                           representation_size=1280,
+                                           classes=21843),
+        # Alibaba-MIIL weights (vision_transformer.py:1465-1490): no qkv bias.
+        "vit_base_patch16_224_miil_in21k": dict(embed_dim=768, num_heads=12,
+                                                qkv_bias=False, classes=11221),
+        "vit_base_patch16_224_miil": dict(embed_dim=768, num_heads=12,
+                                          qkv_bias=False),
     }
 
     def make(spec):
         def ctor(pretrained=False, **kwargs):
             s = dict(spec)
             img = s.pop("img", None)
+            classes = s.pop("classes", None)
             if img is not None:
                 kwargs.setdefault("img_size", img)
+            if classes is not None:
+                kwargs.setdefault("num_classes", classes)
             return _vit(**s, **_common_kwargs(kwargs))
         return ctor
 

@@ -240,6 +240,10 @@ def import_torch_checkpoint(path_or_dict, model, params,
     # final norm + heads
     for k, v in _torch_ln(sd, "norm").items():
         put(("norm", k), v)
+    # timm pre-logits (Sequential fc+tanh — vision_transformer.py:744-755)
+    if "pre_logits.fc.weight" in sd and "pre_logits" in p:
+        for k, v in _torch_linear(sd, "pre_logits.fc").items():
+            put(("pre_logits", k), v)
     for head in ("head", "head_dist"):
         if f"{head}.weight" in sd and head in p:
             hw = np.asarray(sd[f"{head}.weight"])
@@ -307,6 +311,12 @@ def import_flax_npz(path: str, model, params):
 
     p["norm"]["scale"] = g(prefix + "Transformer/encoder_norm/scale")
     p["norm"]["bias"] = g(prefix + "Transformer/encoder_norm/bias")
+    # representation (pre-logits) layer — reference _load_weights
+    # vision_transformer.py:966-973 loads it only when both the model has it
+    # and the checkpoint carries the tensors.
+    if prefix + "pre_logits/kernel" in w and "pre_logits" in p:
+        p["pre_logits"]["kernel"] = g(prefix + "pre_logits/kernel")
+        p["pre_logits"]["bias"] = g(prefix + "pre_logits/bias")
     if prefix + "head/kernel" in w and "head" in p:
         hk = g(prefix + "head/kernel")
         if hk.shape == p["head"]["kernel"].shape:

@@ -159,3 +159,105 @@ def test_async_checkpoint_roundtrip_bitexact(tmp_path):
     assert os.path.exists(str(tmp_path / "ck_async") + ".args.json")
     with open(str(tmp_path / "ck_async") + ".args.json") as f:
         assert json.load(f)["model"] == "m"
+
+
+def test_flax_npz_import_with_prelogits(tmp_path):
+    """Synthetic google-flax .npz (the format _load_weights reads,
+    vision_transformer.py:888-1005) incl. the pre_logits tensors."""
+    from slim_switch_moe_vit_tpu.models.vit import VisionTransformer
+    from slim_switch_moe_vit_tpu.utils.checkpoint import import_flax_npz
+
+    model = VisionTransformer(img_size=32, patch_size=16, num_classes=5,
+                              embed_dim=16, depth=1, num_heads=2,
+                              representation_size=12)
+    x = jnp.ones((1, 32, 32, 3))
+    p = model.init({"params": jax.random.PRNGKey(0)}, x,
+                   deterministic=True)["params"]
+    rs = np.random.RandomState(0)
+    D, H = 16, 2
+    w = {
+        "embedding/kernel": rs.randn(16, 16, 3, D).astype(np.float32),
+        "embedding/bias": rs.randn(D).astype(np.float32),
+        "cls": rs.randn(1, 1, D).astype(np.float32),
+        "Transformer/posembed_input/pos_embedding":
+            rs.randn(1, 5, D).astype(np.float32),
+        "Transformer/encoder_norm/scale": rs.randn(D).astype(np.float32),
+        "Transformer/encoder_norm/bias": rs.randn(D).astype(np.float32),
+        "pre_logits/kernel": rs.randn(D, 12).astype(np.float32),
+        "pre_logits/bias": rs.randn(12).astype(np.float32),
+        "head/kernel": rs.randn(12, 5).astype(np.float32),
+        "head/bias": rs.randn(5).astype(np.float32),
+    }
+    bp = "Transformer/encoderblock_0/"
+    w[bp + "LayerNorm_0/scale"] = rs.randn(D).astype(np.float32)
+    w[bp + "LayerNorm_0/bias"] = rs.randn(D).astype(np.float32)
+    w[bp + "LayerNorm_2/scale"] = rs.randn(D).astype(np.float32)
+    w[bp + "LayerNorm_2/bias"] = rs.randn(D).astype(np.float32)
+    ap = bp + "MultiHeadDotProductAttention_1/"
+    for n in ("query", "key", "value"):
+        w[ap + f"{n}/kernel"] = rs.randn(D, H, D // H).astype(np.float32)
+        w[ap + f"{n}/bias"] = rs.randn(H, D // H).astype(np.float32)
+    w[ap + "out/kernel"] = rs.randn(H, D // H, D).astype(np.float32)
+    w[ap + "out/bias"] = rs.randn(D).astype(np.float32)
+    mp = bp + "MlpBlock_3/"
+    w[mp + "Dense_0/kernel"] = rs.randn(D, 4 * D).astype(np.float32)
+    w[mp + "Dense_0/bias"] = rs.randn(4 * D).astype(np.float32)
+    w[mp + "Dense_1/kernel"] = rs.randn(4 * D, D).astype(np.float32)
+    w[mp + "Dense_1/bias"] = rs.randn(D).astype(np.float32)
+    path = str(tmp_path / "ck.npz")
+    np.savez(path, **w)
+
+    p2 = import_flax_npz(path, model, p)
+    np.testing.assert_array_equal(np.asarray(p2["pre_logits"]["kernel"]),
+                                  w["pre_logits/kernel"])
+    np.testing.assert_array_equal(np.asarray(p2["head"]["kernel"]),
+                                  w["head/kernel"])
+    # the imported tree still runs forward
+    out = model.apply({"params": p2}, x, deterministic=True)
+    assert out.shape == (1, 5)
+
+
+def test_torch_import_prelogits():
+    from slim_switch_moe_vit_tpu.models.vit import VisionTransformer
+
+    model = VisionTransformer(img_size=32, patch_size=16, num_classes=5,
+                              embed_dim=16, depth=1, num_heads=2,
+                              representation_size=12)
+    x = jnp.ones((1, 32, 32, 3))
+    p = model.init({"params": jax.random.PRNGKey(0)}, x,
+                   deterministic=True)["params"]
+    rs = np.random.RandomState(1)
+    fc_w = rs.randn(12, 16).astype(np.float32)   # torch (out, in)
+    fc_b = rs.randn(12).astype(np.float32)
+    sd = {
+        "patch_embed.proj.weight": np.asarray(
+            p["patch_embed"]["proj"]["kernel"]).reshape(
+                16, 16, 3, 16).transpose(3, 2, 0, 1),
+        "patch_embed.proj.bias": np.asarray(p["patch_embed"]["proj"]["bias"]),
+        "cls_token": np.asarray(p["cls_token"]),
+        "pos_embed": np.asarray(p["pos_embed"]),
+        "pre_logits.fc.weight": fc_w,
+        "pre_logits.fc.bias": fc_b,
+    }
+    b = p["blocks_0"]
+    sd.update({
+        "blocks.0.norm1.weight": np.asarray(b["norm1"]["scale"]),
+        "blocks.0.norm1.bias": np.asarray(b["norm1"]["bias"]),
+        "blocks.0.norm2.weight": np.asarray(b["norm2"]["scale"]),
+        "blocks.0.norm2.bias": np.asarray(b["norm2"]["bias"]),
+        "blocks.0.attn.qkv.weight": np.asarray(b["attn"]["qkv"]["kernel"]).T,
+        "blocks.0.attn.qkv.bias": np.asarray(b["attn"]["qkv"]["bias"]),
+        "blocks.0.attn.proj.weight": np.asarray(b["attn"]["proj"]["kernel"]).T,
+        "blocks.0.attn.proj.bias": np.asarray(b["attn"]["proj"]["bias"]),
+        "blocks.0.mlp.fc1.weight": np.asarray(b["mlp"]["fc1"]["kernel"]).T,
+        "blocks.0.mlp.fc1.bias": np.asarray(b["mlp"]["fc1"]["bias"]),
+        "blocks.0.mlp.fc2.weight": np.asarray(b["mlp"]["fc2"]["kernel"]).T,
+        "blocks.0.mlp.fc2.bias": np.asarray(b["mlp"]["fc2"]["bias"]),
+        "norm.weight": np.asarray(p["norm"]["scale"]),
+        "norm.bias": np.asarray(p["norm"]["bias"]),
+    })
+    p2 = import_torch_checkpoint(sd, model, p)
+    np.testing.assert_allclose(np.asarray(p2["pre_logits"]["kernel"]),
+                               fc_w.T, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(p2["pre_logits"]["bias"]), fc_b,
+                               atol=1e-6)

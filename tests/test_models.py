@@ -155,3 +155,58 @@ def test_registry_lists_reference_names():
         "resmoe_tiny_patch16_224_expert8", "moe_tiny_patch16_224_expert8",
     ]:
         assert n in names
+
+
+def test_registry_covers_all_reference_vit_registrations():
+    """All 38 names registered by reference models/vision_transformer.py
+    (1083-1490): 14 classic, 8 deit, 8 in21k, 2 miil."""
+    names = set(list_models())
+    in21k = [
+        "vit_tiny_patch16_224_in21k", "vit_small_patch32_224_in21k",
+        "vit_small_patch16_224_in21k", "vit_base_patch32_224_in21k",
+        "vit_base_patch16_224_in21k", "vit_large_patch32_224_in21k",
+        "vit_large_patch16_224_in21k", "vit_huge_patch14_224_in21k",
+    ]
+    miil = ["vit_base_patch16_224_miil_in21k", "vit_base_patch16_224_miil"]
+    for n in in21k + miil:
+        assert n in names, n
+
+
+def test_in21k_default_head_and_prelogits():
+    # default 21k head (vision_transformer.py default_cfgs num_classes=21843)
+    m = create_model("vit_tiny_patch16_224_in21k", img_size=32)
+    variables, out = _init_and_forward(m)
+    assert out.shape == (2, 21843)
+    # huge/large-p32 in21k carry the representation layer; use a shrunken
+    # config to keep the test cheap (representation_size passes through)
+    m2 = create_model("vit_large_patch32_224_in21k", img_size=32,
+                      num_classes=7)
+    assert m2.representation_size == 1024
+    from slim_switch_moe_vit_tpu.models.vit import VisionTransformer
+    tiny = VisionTransformer(img_size=32, patch_size=16, num_classes=7,
+                             embed_dim=64, depth=1, num_heads=2,
+                             representation_size=48)
+    x = jnp.ones((2, 32, 32, 3))
+    v = tiny.init({"params": jax.random.PRNGKey(0)}, x, deterministic=True)
+    assert v["params"]["pre_logits"]["kernel"].shape == (64, 48)
+    assert v["params"]["head"]["kernel"].shape == (48, 7)
+    out = tiny.apply(v, x, deterministic=True)
+    assert out.shape == (2, 7)
+    # num_classes=0 returns the tanh'd representation feature
+    # (vision_transformer.py:833)
+    feat_model = VisionTransformer(img_size=32, patch_size=16, num_classes=0,
+                                   embed_dim=64, depth=1, num_heads=2,
+                                   representation_size=48)
+    v0 = feat_model.init({"params": jax.random.PRNGKey(0)}, x,
+                         deterministic=True)
+    f = feat_model.apply(v0, x, deterministic=True)
+    assert f.shape == (2, 48)
+    assert float(jnp.max(jnp.abs(f))) <= 1.0 + 1e-6
+
+
+def test_miil_has_no_qkv_bias():
+    m = create_model("vit_base_patch16_224_miil", num_classes=10, img_size=32)
+    assert m.qkv_bias is False
+    v, out = _init_and_forward(m)
+    assert out.shape == (2, 10)
+    assert "bias" not in v["params"]["blocks_0"]["attn"]["qkv"]
