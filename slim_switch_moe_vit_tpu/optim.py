@@ -264,7 +264,53 @@ class TimmPlateauSchedule:
         self.num_bad = int(st["num_bad"])
 
 
-SUPPORTED_SCHEDULERS = ("cosine", "step", "plateau")
+class TimmTanhSchedule:
+    """``--sched tanh``: timm TanhLRScheduler — the hyperbolic-tangent decay
+    of Hsueh et al. 2018 (arXiv:1806.01593), the fourth and last schedule the
+    DeiT-era timm ``create_scheduler`` dispatches (cosine/tanh/step/plateau).
+
+    Decay: ``lr = min_lr + 0.5*(base - min_lr) * (1 - tanh(lb + (ub-lb)*t/T))``
+    with timm's defaults ``lb=-6.0, ub=4.0`` (not CLI-exposed in the reference,
+    so the defaults are the whole surface). Warmup ramp, cooldown-to-min_lr,
+    and lr-noise behave exactly as in TimmCosineSchedule (shared timm
+    ``Scheduler`` base-class behavior)."""
+
+    def __init__(self, base_lr: float, epochs: int, *, lb: float = -6.0,
+                 ub: float = 4.0, warmup_epochs: int = 5,
+                 warmup_lr: float = 1e-6, min_lr: float = 1e-5,
+                 cooldown_epochs: int = 10,
+                 noise_range: typ.Optional[typ.Sequence[float]] = None,
+                 noise_pct: float = 0.67, noise_std: float = 1.0,
+                 noise_seed: int = 42):
+        self.base_lr = base_lr
+        self.epochs = epochs
+        self.lb = lb
+        self.ub = ub
+        self.warmup_epochs = warmup_epochs
+        self.warmup_lr = warmup_lr
+        self.min_lr = min_lr
+        self.cooldown_epochs = cooldown_epochs
+        self._noise_helper = TimmCosineSchedule(
+            base_lr, epochs, noise_range=noise_range, noise_pct=noise_pct,
+            noise_std=noise_std, noise_seed=noise_seed)
+
+    def scale(self, epoch: int) -> float:
+        return self(epoch) / self.base_lr if self.base_lr > 0 else 0.0
+
+    def __call__(self, epoch: int) -> float:
+        if self.warmup_epochs > 0 and epoch < self.warmup_epochs:
+            slope = (self.base_lr - self.warmup_lr) / self.warmup_epochs
+            return self.warmup_lr + slope * epoch
+        if epoch >= self.epochs:
+            return self.min_lr
+        tr = epoch / max(self.epochs, 1)
+        lr = self.min_lr + 0.5 * (self.base_lr - self.min_lr) * (
+            1.0 - math.tanh(self.lb + (self.ub - self.lb) * tr)
+        )
+        return lr * (1.0 + self._noise_helper._noise(epoch))
+
+
+SUPPORTED_SCHEDULERS = ("cosine", "tanh", "step", "plateau")
 
 
 def create_scheduler(sched: str, base_lr: float, epochs: int, *,
@@ -279,6 +325,12 @@ def create_scheduler(sched: str, base_lr: float, epochs: int, *,
     silently substituting an algorithm (PARITY 2.1)."""
     if sched == "cosine":
         return TimmCosineSchedule(
+            base_lr, epochs, warmup_epochs=warmup_epochs, warmup_lr=warmup_lr,
+            min_lr=min_lr, cooldown_epochs=cooldown_epochs,
+            noise_range=noise_range, noise_pct=noise_pct, noise_std=noise_std,
+            noise_seed=noise_seed)
+    if sched == "tanh":
+        return TimmTanhSchedule(
             base_lr, epochs, warmup_epochs=warmup_epochs, warmup_lr=warmup_lr,
             min_lr=min_lr, cooldown_epochs=cooldown_epochs,
             noise_range=noise_range, noise_pct=noise_pct, noise_std=noise_std,
@@ -313,7 +365,157 @@ def scaled_lr(lr: float, batch_size: int, world_size: int,
 
 
 SUPPORTED_OPTIMIZERS = ("adamw", "adam", "sgd", "nesterov", "momentum",
-                        "lamb")
+                        "lamb", "nadam", "radam", "adadelta", "rmsprop")
+
+
+class _AdadeltaState(typ.NamedTuple):
+    v: typ.Any      # E[g^2]
+    u: typ.Any      # E[delta^2]
+
+
+def _scale_by_adadelta(rho: float = 0.9, eps: float = 1e-6):
+    """torch.optim.Adadelta semantics (what timm's 'adadelta' constructs):
+    ``delta = g * sqrt(u + eps) / sqrt(v + eps)``; both accumulators decay at
+    ``rho``. lr is applied downstream per group."""
+
+    def init(params):
+        z = jax.tree.map(jnp.zeros_like, params)
+        return _AdadeltaState(v=z, u=jax.tree.map(jnp.zeros_like, params))
+
+    def update(grads, state, params=None):
+        del params
+        v = jax.tree.map(lambda a, g: rho * a + (1 - rho) * g * g,
+                         state.v, grads)
+        delta = jax.tree.map(
+            lambda g, vv, uu: g * jnp.sqrt(uu + eps) / jnp.sqrt(vv + eps),
+            grads, v, state.u)
+        u = jax.tree.map(lambda a, d: rho * a + (1 - rho) * d * d,
+                         state.u, delta)
+        return delta, _AdadeltaState(v=v, u=u)
+
+    return optax.GradientTransformation(init, update)
+
+
+class _RMSpropState(typ.NamedTuple):
+    v: typ.Any
+    buf: typ.Any
+
+
+def _scale_by_rmsprop(alpha: float = 0.9, eps: float = 1e-8,
+                      momentum: float = 0.0):
+    """torch.optim.RMSprop semantics; timm's factory constructs it with
+    ``alpha=0.9`` (NOT torch's 0.99 default) and the CLI ``--momentum``.
+    eps is OUTSIDE the sqrt; the momentum buffer accumulates the pre-lr
+    direction (torch applies lr at the final ``p -= lr*buf``), so the
+    downstream per-group lr application is exact even when lr changes."""
+
+    def init(params):
+        return _RMSpropState(v=jax.tree.map(jnp.zeros_like, params),
+                             buf=jax.tree.map(jnp.zeros_like, params))
+
+    def update(grads, state, params=None):
+        del params
+        v = jax.tree.map(lambda a, g: alpha * a + (1 - alpha) * g * g,
+                         state.v, grads)
+        d = jax.tree.map(lambda g, vv: g / (jnp.sqrt(vv) + eps), grads, v)
+        if momentum > 0:
+            buf = jax.tree.map(lambda b, dd: momentum * b + dd, state.buf, d)
+            return buf, _RMSpropState(v=v, buf=buf)
+        return d, _RMSpropState(v=v, buf=state.buf)
+
+    return optax.GradientTransformation(init, update)
+
+
+class _NadamState(typ.NamedTuple):
+    count: jnp.ndarray
+    mu_product: jnp.ndarray
+    m: typ.Any
+    v: typ.Any
+
+
+def _scale_by_nadam(b1: float = 0.9, b2: float = 0.999, eps: float = 1e-8,
+                    momentum_decay: float = 4e-3):
+    """Nadam (Dozat 2016) with the Keras momentum schedule
+    ``mu_t = b1*(1 - 0.5*0.96**(t*psi))``, ``psi=momentum_decay`` — the
+    formula both timm's Nadam and torch.optim.NAdam implement
+    (torch-parity tested). L2 weight decay goes on the gradient upstream."""
+
+    def init(params):
+        return _NadamState(
+            count=jnp.zeros([], jnp.int32),
+            mu_product=jnp.ones([], jnp.float32),
+            m=jax.tree.map(jnp.zeros_like, params),
+            v=jax.tree.map(jnp.zeros_like, params))
+
+    def update(grads, state, params=None):
+        del params
+        t = state.count + 1
+        tf = t.astype(jnp.float32)
+        mu_t = b1 * (1.0 - 0.5 * 0.96 ** (tf * momentum_decay))
+        mu_t1 = b1 * (1.0 - 0.5 * 0.96 ** ((tf + 1.0) * momentum_decay))
+        mu_prod = state.mu_product * mu_t
+        m = jax.tree.map(lambda a, g: b1 * a + (1 - b1) * g, state.m, grads)
+        v = jax.tree.map(lambda a, g: b2 * a + (1 - b2) * g * g,
+                         state.v, grads)
+        bc2 = 1.0 - b2 ** tf
+
+        def f(g, mm, vv):
+            denom = jnp.sqrt(vv / bc2) + eps
+            return ((1.0 - mu_t) / (1.0 - mu_prod) * g
+                    + mu_t1 / (1.0 - mu_prod * mu_t1) * mm) / denom
+
+        return (jax.tree.map(f, grads, m, v),
+                _NadamState(count=t, mu_product=mu_prod, m=m, v=v))
+
+    return optax.GradientTransformation(init, update)
+
+
+class _RAdamState(typ.NamedTuple):
+    count: jnp.ndarray
+    m: typ.Any
+    v: typ.Any
+
+
+def _scale_by_radam(b1: float = 0.9, b2: float = 0.999, eps: float = 1e-8):
+    """RAdam (Liu et al. 2020): variance rectification when the SMA length
+    ``rho_t > 5``, plain bias-corrected momentum otherwise. The branch depends
+    only on the traced step count -> jnp.where, jit-stable. Weight decay is
+    DECOUPLED downstream (timm's radam applies ``p -= lr*wd*p`` directly,
+    i.e. torch.optim.RAdam(decoupled_weight_decay=True), the parity target)."""
+
+    rho_inf = 2.0 / (1.0 - b2) - 1.0
+
+    def init(params):
+        return _RAdamState(count=jnp.zeros([], jnp.int32),
+                           m=jax.tree.map(jnp.zeros_like, params),
+                           v=jax.tree.map(jnp.zeros_like, params))
+
+    def update(grads, state, params=None):
+        del params
+        t = state.count + 1
+        tf = t.astype(jnp.float32)
+        m = jax.tree.map(lambda a, g: b1 * a + (1 - b1) * g, state.m, grads)
+        v = jax.tree.map(lambda a, g: b2 * a + (1 - b2) * g * g,
+                         state.v, grads)
+        bc1 = 1.0 - b1 ** tf
+        bc2 = 1.0 - b2 ** tf
+        rho_t = rho_inf - 2.0 * tf * (b2 ** tf) / bc2
+        # clamp: for rho_t <= 5 the numerator can go negative; the sqrt's NaN
+        # would be discarded by the where below, but keep the value finite
+        rect = jnp.sqrt(jnp.maximum((rho_t - 4.0) * (rho_t - 2.0) * rho_inf,
+                                    0.0)
+                        / jnp.maximum((rho_inf - 4.0) * (rho_inf - 2.0)
+                                      * rho_t, 1e-12))
+        use_rect = rho_t > 5.0
+
+        def f(mm, vv):
+            mhat = mm / bc1
+            adapted = rect * mhat / (jnp.sqrt(vv / bc2) + eps)
+            return jnp.where(use_rect, adapted, mhat)
+
+        return jax.tree.map(f, m, v), _RAdamState(count=t, m=m, v=v)
+
+    return optax.GradientTransformation(init, update)
 
 
 def _lamb_global_grad_rescale(max_grad_norm: float):
@@ -383,6 +585,13 @@ def make_optimizer(params, *, opt: str = "adamw", weight_decay: float = 0.05,
       (max_grad_norm=1), Adam moments, decoupled weight decay, per-param
       trust ratio on decayed params only (torch-parity tested in
       tests/test_optim_extras.py).
+    - ``nadam`` — Nadam with the Keras momentum schedule (psi=4e-3), the
+      formula timm's Nadam and torch.optim.NAdam share; L2 wd on the grad.
+    - ``radam`` — rectified Adam; DECOUPLED weight decay (timm radam applies
+      ``p -= lr*wd*p``; parity target torch RAdam(decoupled_weight_decay=True)).
+    - ``adadelta`` — torch Adadelta (rho 0.9, eps 1e-6); L2 wd on the grad.
+    - ``rmsprop`` — torch RMSprop as timm constructs it: alpha=0.9 (not
+      torch's 0.99 default), CLI momentum; L2 wd on the grad.
 
     Any other name raises — this framework refuses to silently substitute an
     algorithm (PARITY 2.1). In all cases timm's no-decay filtering applies
@@ -420,11 +629,25 @@ def make_optimizer(params, *, opt: str = "adamw", weight_decay: float = 0.05,
         chain.append(_scale_by_trust_ratio_masked(
             wd_mask if weight_decay else
             (lambda params: jax.tree.map(lambda _: False, params))))
-    elif opt == "adam":
-        # torch Adam: L2 on the gradient BEFORE the moment update
+    elif opt == "radam":
+        # decoupled weight decay (timm radam: p -= lr*wd*p), like adamw
+        chain.append(_scale_by_radam(b1=betas[0], b2=betas[1], eps=eps))
         if weight_decay:
             chain.append(optax.add_decayed_weights(weight_decay, mask=wd_mask))
-        chain.append(optax.scale_by_adam(b1=betas[0], b2=betas[1], eps=eps))
+    elif opt in ("adam", "nadam", "adadelta", "rmsprop"):
+        # torch semantics: L2 on the gradient BEFORE the moment update
+        if weight_decay:
+            chain.append(optax.add_decayed_weights(weight_decay, mask=wd_mask))
+        if opt == "adam":
+            chain.append(optax.scale_by_adam(b1=betas[0], b2=betas[1],
+                                             eps=eps))
+        elif opt == "nadam":
+            chain.append(_scale_by_nadam(b1=betas[0], b2=betas[1], eps=eps))
+        elif opt == "adadelta":
+            chain.append(_scale_by_adadelta(eps=1e-6))
+        else:  # rmsprop — timm constructs torch RMSprop with alpha=0.9
+            chain.append(_scale_by_rmsprop(alpha=0.9, eps=eps,
+                                           momentum=momentum))
     else:  # sgd / nesterov / momentum — torch SGD semantics
         if weight_decay:
             chain.append(optax.add_decayed_weights(weight_decay, mask=wd_mask))

@@ -97,6 +97,6 @@ def test_unsupported_opt_fails_loudly_in_main():
     a = _parse(["--opt", "adabelief"])
     with pytest.raises(ValueError, match="--opt 'adabelief'"):
         main(a)
-    a = _parse(["--sched", "tanh"])
-    with pytest.raises(ValueError, match="--sched 'tanh'"):
+    a = _parse(["--sched", "poly"])
+    with pytest.raises(ValueError, match="--sched 'poly'"):
         main(a)

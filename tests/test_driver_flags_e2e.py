@@ -105,3 +105,27 @@ def test_plateau_schedule_trains_e2e_and_decays(tmp_path, capsys):
            if l.strip()]
     assert lrs[0] == 0.008 and lrs[1] == 0.008
     assert min(lrs) <= 0.004 + 1e-12  # at least one plateau decay fired
+
+
+def test_radam_tanh_schedule_trains_e2e(tmp_path, capsys):
+    """r5 surface: --opt radam --sched tanh through main() end to end."""
+    args = _args(tmp_path / "out", [
+        "--epochs", "1", "--opt", "radam", "--sched", "tanh",
+    ])
+    args.synth_size = 32
+    main(args)
+    out = capsys.readouterr().out
+    assert "Epoch: [0]" in out
+    ckpt = _restore_raw(tmp_path / "out" / "checkpoint")
+    assert np.isfinite(np.asarray(ckpt["params"]["head"]["kernel"])).all()
+
+
+def test_rmsprop_trains_e2e(tmp_path, capsys):
+    args = _args(tmp_path / "out", [
+        "--epochs", "1", "--opt", "rmsprop", "--momentum", "0.9",
+    ])
+    args.synth_size = 32
+    main(args)
+    assert "Epoch: [0]" in capsys.readouterr().out
+    ckpt = _restore_raw(tmp_path / "out" / "checkpoint")
+    assert np.isfinite(np.asarray(ckpt["params"]["head"]["kernel"])).all()

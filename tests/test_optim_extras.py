@@ -177,8 +177,8 @@ def test_unsupported_opt_and_sched_raise():
     params = _tiny_params()
     with pytest.raises(ValueError, match="--opt 'adabelief'"):
         optim.make_optimizer(params, opt="adabelief")
-    with pytest.raises(ValueError, match="--sched 'tanh'"):
-        optim.create_scheduler("tanh", 1e-3, 100)
+    with pytest.raises(ValueError, match="--sched 'poly'"):
+        optim.create_scheduler("poly", 1e-3, 100)
 
 
 def _torch_lamb_reference(params, grads_seq, lr, wd, betas=(0.9, 0.999),
@@ -351,3 +351,81 @@ def test_plateau_schedule_warmup_and_cli_wiring():
     with pytest.raises(ValueError, match="lr-noise"):
         optim.create_scheduler("plateau", base_lr=0.1, epochs=10,
                                noise_range=[0.5])
+
+
+def _torch_extended_run(opt_name, params, grads_seq, lr, wd, momentum=0.9,
+                        betas=(0.9, 0.999), eps=1e-8):
+    import torch
+
+    kernel = torch.nn.Parameter(torch.tensor(np.asarray(params["dense"]["kernel"])))
+    bias = torch.nn.Parameter(torch.tensor(np.asarray(params["dense"]["bias"])))
+    groups = [{"params": [kernel], "weight_decay": wd},
+              {"params": [bias], "weight_decay": 0.0}]
+    if opt_name == "nadam":
+        topt = torch.optim.NAdam(groups, lr=lr, betas=betas, eps=eps,
+                                 momentum_decay=4e-3)
+    elif opt_name == "radam":
+        topt = torch.optim.RAdam(groups, lr=lr, betas=betas, eps=eps,
+                                 decoupled_weight_decay=True)
+    elif opt_name == "adadelta":
+        topt = torch.optim.Adadelta(groups, lr=lr, rho=0.9, eps=1e-6)
+    elif opt_name == "rmsprop":
+        # timm factory: optim.RMSprop(parameters, alpha=0.9, momentum=momentum)
+        topt = torch.optim.RMSprop(groups, lr=lr, alpha=0.9, eps=eps,
+                                   momentum=momentum)
+    else:
+        raise ValueError(opt_name)
+    for gk, gb in grads_seq:
+        kernel.grad = torch.tensor(np.asarray(gk))
+        bias.grad = torch.tensor(np.asarray(gb))
+        topt.step()
+    return kernel.detach().numpy(), bias.detach().numpy()
+
+
+def _run_extended_parity(opt_name, steps=6, rtol=3e-5, atol=3e-6):
+    params = _tiny_params()
+    rng = np.random.RandomState(7)
+    grads_seq = [(rng.randn(4, 3).astype(np.float32),
+                  rng.randn(3).astype(np.float32)) for _ in range(steps)]
+    tk, tb = _torch_extended_run(opt_name, params, grads_seq, 1e-2, 0.05)
+    jk, jb = _optax_run(opt_name, params, grads_seq, 1e-2, 0.05)
+    np.testing.assert_allclose(jk, tk, rtol=rtol, atol=atol)
+    np.testing.assert_allclose(jb, tb, rtol=rtol, atol=atol)
+
+
+def test_nadam_matches_torch():
+    _run_extended_parity("nadam")
+
+
+def test_radam_matches_torch():
+    # cross the rho_t rectification threshold: with b2=0.999, rho_t>5 from
+    # step 5 on, so 8 steps exercise both branches
+    _run_extended_parity("radam", steps=8)
+
+
+def test_adadelta_matches_torch():
+    _run_extended_parity("adadelta")
+
+
+def test_rmsprop_matches_torch():
+    _run_extended_parity("rmsprop")
+
+
+def test_tanh_schedule_formula():
+    import math as _math
+
+    s = optim.create_scheduler("tanh", 1e-3, 100, warmup_epochs=5,
+                               warmup_lr=1e-6, min_lr=1e-5)
+    assert isinstance(s, optim.TimmTanhSchedule)
+    # warmup ramp identical to cosine's
+    assert s(0) == 1e-6
+    assert abs(s(4) - (1e-6 + 4 * (1e-3 - 1e-6) / 5)) < 1e-12
+    # decay follows lr_min + 0.5*(base-min)*(1 - tanh(lb + (ub-lb)*t/T))
+    for e in (5, 30, 60, 99):
+        want = 1e-5 + 0.5 * (1e-3 - 1e-5) * (
+            1.0 - _math.tanh(-6.0 + 10.0 * e / 100))
+        assert abs(s(e) - want) < 1e-15, e
+    # monotone decreasing after warmup, cooldown pins min_lr
+    vals = [s(e) for e in range(5, 100)]
+    assert all(a >= b for a, b in zip(vals, vals[1:]))
+    assert s(100) == 1e-5 and s(105) == 1e-5
