@@ -103,6 +103,12 @@ def test_compilation_cache_flag_populates_cache(tmp_path, capsys):
     args = _args(out_dir, ["--epochs", "1",
                            "--compilation-cache-dir", str(cache_dir)])
     args.synth_size = 64
+    # Earlier tests in the same process may have compiled an identical HLO;
+    # jax's in-memory executable cache would then serve it and the persistent
+    # cache would never be touched. Force a real compile.
+    import jax
+
+    jax.clear_caches()
     main(args)
     capsys.readouterr()
     entries = os.listdir(str(cache_dir))
