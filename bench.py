@@ -122,8 +122,13 @@ def _measure_eval(name, batch=256, img=224, K=40, reps=3):
     x = jnp.asarray(np.random.RandomState(0).randn(batch, img, img, 3),
                     jnp.bfloat16)
 
+    # variables is a jit ARGUMENT, not a closure: closed-over arrays are
+    # baked into the HLO as constants, and past ~80M params the serialized
+    # program exceeds the axon remote_compile body limit (HTTP 413, hit on
+    # deit_base in the r5 zoo sweep). Passing them keeps the program small
+    # and measured identical on tiny (A/B in PARITY "Model scaling").
     @jax.jit
-    def k_evals(x):
+    def k_evals(variables, x):
         def body(c, _):
             logits = model.apply(variables, c, deterministic=True)
             # fold the prediction back in so the scan can't be elided
@@ -133,11 +138,11 @@ def _measure_eval(name, batch=256, img=224, K=40, reps=3):
         c, outs = jax.lax.scan(body, x, None, length=K)
         return outs[-1]
 
-    _ = float(k_evals(x))
+    _ = float(k_evals(variables, x))
     times = []
     for _ in range(reps):
         t0 = time.perf_counter()
-        _ = float(k_evals(x))
+        _ = float(k_evals(variables, x))
         times.append(time.perf_counter() - t0)
     return batch * K / min(times)
 

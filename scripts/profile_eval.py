@@ -32,8 +32,11 @@ def main():
     x = jnp.asarray(np.random.RandomState(0).randn(batch, img, img, 3),
                     jnp.float32)
 
+    # variables as a jit argument, not a closure: baked-in constants push
+    # the serialized program past the axon remote_compile body limit for
+    # ≥base-sized models (bench.py::_measure_eval has the same note).
     @jax.jit
-    def k_evals(x):
+    def k_evals(variables, x):
         def body(c, _):
             logits = model.apply(variables, c, deterministic=True)
             c = c + logits.mean() * 0.0
@@ -42,15 +45,15 @@ def main():
         c, outs = jax.lax.scan(body, x, None, length=K)
         return outs[-1]
 
-    _ = float(k_evals(x))
+    _ = float(k_evals(variables, x))
     t0 = time.perf_counter()
-    _ = float(k_evals(x))
+    _ = float(k_evals(variables, x))
     dt = time.perf_counter() - t0
     print(f"{batch * K / dt:.1f} img/s  ({dt / K * 1000:.3f} ms/forward)")
 
     with tempfile.TemporaryDirectory() as td:
         with trace(td):
-            _ = float(k_evals(x))
+            _ = float(k_evals(variables, x))
         rows = summarize_trace(td, top=30, steps=K)
     for ms, n, label in rows:
         print(f"{ms:9.3f}  {n:6d}  {label}")
