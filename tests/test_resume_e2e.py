@@ -107,8 +107,19 @@ def test_compilation_cache_flag_populates_cache(tmp_path, capsys):
     # jax's in-memory executable cache would then serve it and the persistent
     # cache would never be touched. Force a real compile.
     import jax
+    import jax.numpy as jnp
 
     jax.clear_caches()
+    # Bind jax's persistent-cache singleton to a DECOY dir first (exactly
+    # what a prior in-process compile against another cache does — e.g. the
+    # full suite compiles after `import bench` pointed it at .xla_cache).
+    # The singleton ignores later config updates, so main() must reset it
+    # for the flag to win; without that reset this test fails on the
+    # os.listdir below regardless of suite ordering.
+    decoy = tmp_path / "decoy_cache"
+    jax.config.update("jax_compilation_cache_dir", str(decoy))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    _ = jax.jit(lambda x: jnp.tanh(x) @ x)(jnp.ones((64, 64)))
     main(args)
     capsys.readouterr()
     entries = os.listdir(str(cache_dir))
